@@ -1,0 +1,147 @@
+"""Core neural building blocks (flax.linen): RMSNorm, RoPE, GQA attention.
+
+TPU-native re-design of the compute primitives the reference inherits from
+HF transformers + CUDA SDPA (ref: SeqRec/models/generative/Qwen3Multi/model.py:25-150).
+Attention takes a *boolean allowed* mask (built by gamer_tpu/ops/masks.py
+predicates inside jit) instead of a materialized additive float mask, and
+threads KV caches functionally (explicit state in/out) so the decode loop can
+live inside `lax.scan`/`lax.while_loop`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gamer_tpu.ops.masks import NEG_INF
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square layer norm (as Qwen3RMSNorm)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float = 1e6) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """positions [B, S] -> (cos, sin) each [B, S, head_dim] (NeoX half-rotation layout)."""
+    half = head_dim // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # [B, S, half]
+    cos = jnp.concatenate([jnp.cos(angles), jnp.cos(angles)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(angles), jnp.sin(angles)], axis=-1)
+    return cos, sin
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, S, H, D]; cos/sin [B, S, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos[:, :, None, :] + rotated * sin[:, :, None, :]).astype(x.dtype)
+
+
+def attend(
+    q: jnp.ndarray,  # [B, Sq, H, D]
+    k: jnp.ndarray,  # [B, Sk, Hkv, D]
+    v: jnp.ndarray,  # [B, Sk, Hkv, D]
+    allowed: jnp.ndarray,  # [B or 1, 1, Sq, Sk] bool
+    scale: float,
+) -> jnp.ndarray:
+    """Masked GQA attention core. fp32 softmax for stability; MXU matmuls."""
+    groups = q.shape[2] // k.shape[2]
+    b, sq, h, d = q.shape
+    sk, hkv = k.shape[1], k.shape[2]
+    qg = q.reshape(b, sq, hkv, groups, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32) * scale
+    bias = jnp.where(allowed[:, :, None], 0.0, NEG_INF)  # [B,1,1,Sq,Sk]
+    scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
+class GQAAttention(nn.Module):
+    """Qwen3-style grouped-query attention with per-head q/k RMS norm.
+
+    With `is_cross=True` this is the GAMER behavior cross-attention
+    (ref: Qwen3Multi/model.py:60-95,146-149): per-action behavior embeddings of
+    width head_dim are added to q/k/v before norm/rope, and the output is gated
+    by silu(gating(x)).
+    """
+
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    attention_bias: bool = False
+    is_cross: bool = False
+    num_behavior: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, S, D]
+        positions: jnp.ndarray,  # [B, S] rope positions
+        allowed: jnp.ndarray,  # [B or 1, 1, S, Sk] bool
+        action_index: Optional[jnp.ndarray] = None,  # [B, S] (cross only)
+        kv_cache: Optional[dict] = None,  # {"k": [B, K, Hkv, D], "v": ...}
+        cache_index: Optional[jnp.ndarray] = None,  # scalar write offset
+    ) -> tuple[jnp.ndarray, Optional[dict]]:
+        b, s, d_model = x.shape
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=self.attention_bias, dtype=self.dtype, name=name)
+        q = dense(self.num_heads * self.head_dim, "q_proj")(x).reshape(b, s, self.num_heads, self.head_dim)
+        k = dense(self.num_kv_heads * self.head_dim, "k_proj")(x).reshape(b, s, self.num_kv_heads, self.head_dim)
+        v = dense(self.num_kv_heads * self.head_dim, "v_proj")(x).reshape(b, s, self.num_kv_heads, self.head_dim)
+
+        if self.is_cross:
+            assert action_index is not None
+            emb = lambda h, name: nn.Embed(
+                self.num_behavior + 1, h * self.head_dim, dtype=self.dtype, name=name)
+            q = q + emb(self.num_heads, "q_behavior_embedding")(action_index).reshape(
+                b, s, self.num_heads, self.head_dim)
+            k = k + emb(self.num_kv_heads, "k_behavior_embedding")(action_index).reshape(
+                b, s, self.num_kv_heads, self.head_dim)
+            v = v + emb(self.num_kv_heads, "v_behavior_embedding")(action_index).reshape(
+                b, s, self.num_kv_heads, self.head_dim)
+
+        q = RMSNorm(self.rms_eps, name="q_norm")(q)
+        k = RMSNorm(self.rms_eps, name="k_norm")(k)
+        cos, sin = rope_cos_sin(positions, self.head_dim, self.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if kv_cache is not None:
+            assert cache_index is not None
+            k_all = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k_all, "v": v_all}
+            k, v = k_all, v_all
+
+        out = attend(q, k, v, allowed, self.head_dim ** -0.5)
+        out = out.reshape(b, s, self.num_heads * self.head_dim)
+        out = dense(d_model, "o_proj")(out)
+        if self.is_cross:
+            gate = dense(d_model, "gating")(x)
+            out = out * jax.nn.silu(gate)
+        return out, new_cache
+
+    @staticmethod
+    def init_cache(batch: int, max_len: int, num_kv_heads: int, head_dim: int, dtype=jnp.float32) -> dict:
+        return {
+            "k": jnp.zeros((batch, max_len, num_kv_heads, head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, num_kv_heads, head_dim), dtype),
+        }

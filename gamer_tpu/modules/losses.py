@@ -1,0 +1,76 @@
+"""Loss functions.
+
+`causal_lm_loss` mirrors the reference's temperature-scaled causal-LM CE
+(ref: SeqRec/models/generative/Qwen3Multi/model.py:897-925 — every generative
+model divides logits by `temperature` before ForCausalLMLoss; scripts pass 0.7,
+ref scripts/train_SMB_decoder.sh:131-139). BPR / full-softmax CE serve the
+discriminative family (ref: SeqRec/modules/loss/BPR.py:5,
+SeqRec/modules/model_base/seq_model.py:64-82).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_LABEL = -100
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray,  # [B, S, V]
+    labels: jnp.ndarray,  # [B, S] with IGNORE_LABEL masked
+    temperature: float = 1.0,
+    row_valid: jnp.ndarray | None = None,  # [B] 0/1 (batch-padding rows)
+) -> jnp.ndarray:
+    """Next-token CE: logits[t] predicts labels[t+1]; mean over valid targets."""
+    logits = logits[:, :-1, :].astype(jnp.float32) / temperature
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_LABEL
+    if row_valid is not None:
+        valid = valid & (row_valid[:, None] == 1)
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom
+
+
+def sequence_ce_loss(
+    logits: jnp.ndarray,  # [B, V] scores over candidates/items
+    targets: jnp.ndarray,  # [B] int
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    if valid is not None:
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum() / jnp.maximum(valid.sum(), 1)
+    return nll.mean()
+
+
+def bpr_loss(pos_scores: jnp.ndarray, neg_scores: jnp.ndarray, valid: jnp.ndarray | None = None,
+             gamma: float = 1e-10) -> jnp.ndarray:
+    """-log sigmoid(pos - neg) (ref BPR.py:5-16)."""
+    loss = -jnp.log(gamma + jax.nn.sigmoid(pos_scores - neg_scores))
+    if valid is not None:
+        loss = jnp.where(valid, loss, 0.0)
+        return loss.sum() / jnp.maximum(valid.sum(), 1)
+    return loss.mean()
+
+
+def info_nce(
+    anchors: jnp.ndarray,  # [B, D]
+    positives: jnp.ndarray,  # [B, D]
+    temperature: float = 1.0,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """In-batch InfoNCE: anchor i's positive is positives[i], negatives are the
+    rest of the batch (RQ-VAE CF-alignment & diversity losses,
+    ref SeqRec/models/tokenizer/RQVAE/model.py:105-148)."""
+    if normalize:
+        anchors = anchors / (jnp.linalg.norm(anchors, axis=-1, keepdims=True) + 1e-8)
+        positives = positives / (jnp.linalg.norm(positives, axis=-1, keepdims=True) + 1e-8)
+    sims = anchors @ positives.T / temperature
+    labels = jnp.arange(anchors.shape[0])
+    return sequence_ce_loss(sims, labels)
