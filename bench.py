@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: flagship (Qwen3Multi, GAMER scale) training throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors the reference flagship recipe (ref README.md:59-73 /
+config/s2s-models/Qwen3Multi/config.json): 8 layers, hidden 256, 6 heads
+(3 KV), head_dim 64, all layers sparse MoE, behavior injection on 0-3, cross
+attention on 4-7, max_his_len 100 -> sequence 505 tokens, bf16 compute.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the denominator
+is this framework's round-1 recorded value so the ratio tracks round-over-round
+progress (>1.0 = faster than round 1).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 reference point (seq/s/chip on one v5e chip), recorded when this
+# bench first ran on real hardware. Update only when hardware changes.
+ROUND1_BASELINE_SEQS_PER_SEC = 27375.0
+
+BATCH = 64
+BLOCKS = 101  # max_his_len 100 + target block
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    import jax
+    import optax
+
+    from __graft_entry__ import _flagship_config, _make_batch
+    from gamer_tpu.models.generative.qwen_family import (
+        QwenFamilyModel, prepare_train_inputs)
+    from gamer_tpu.modules.losses import causal_lm_loss
+    from gamer_tpu.train.state import OptimizerConfig, make_optimizer
+
+    cfg = _flagship_config()
+    cfg = cfg.replace(dtype="bfloat16", dropout_rate=0.0)
+    model = QwenFamilyModel(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(cfg, BATCH, BLOCKS, rng)
+
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), **prepare_train_inputs(cfg, batch)))()
+    tx = make_optimizer(OptimizerConfig(total_steps=STEPS + WARMUP))
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, batch):
+        def loss_fn(v):
+            inputs = prepare_train_inputs(cfg, batch)
+            out = model.apply(v, **inputs, route_mode="periodic")
+            return causal_lm_loss(out["logits"], batch["labels"], cfg.temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, loss
+
+    for _ in range(WARMUP):
+        variables, opt_state, loss = train_step(variables, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        variables, opt_state, loss = train_step(variables, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    seqs_per_sec = BATCH * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "flagship_train_seqs_per_sec_per_chip",
+        "value": round(seqs_per_sec, 2),
+        "unit": "seq/s/chip",
+        "vs_baseline": round(seqs_per_sec / ROUND1_BASELINE_SEQS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""On-device trie-constrained beam search for fixed-length semantic IDs.
+
+Replaces HF `generate(num_beams=20, prefix_allowed_tokens_fn=...)` — which
+calls a Python trie callback per beam per token from the host
+(ref: SeqRec/tasks/test_SMB_decoder.py:122-195) — with a fully jitted loop:
+
+  prefill(prompt)  -> last-position logits + KV caches for both streams
+  L decode steps   -> per-level logits sliced to the level's contiguous token
+                      range, masked by the LeveledTrie tables, renormalized
+                      (log_softmax over allowed, matching HF's
+                      PrefixConstrainedLogitsProcessor + log_softmax order),
+                      top-K beam transition, cache reorder by parent beam
+
+Because semantic-ID levels own contiguous vocab ranges, each step scores only
+[K, level_size] instead of [K, vocab] — and the trie lookup is an array gather.
+Decode masks follow the reference semantics exactly (see ops/masks.py:
+generated self rows are causal; generated cross rows reuse the last prompt row).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamer_tpu.decode.trie import LeveledTrie
+from gamer_tpu.models.generative.qwen_family import QwenFamilyConfig, QwenFamilyModel
+from gamer_tpu.ops import masks as mask_ops
+from gamer_tpu.ops import router as router_ops
+
+NEG = -1e30
+
+
+@dataclass(frozen=True)
+class BeamSearchConfig:
+    num_beams: int = 20
+    cache_dtype: str = "float32"  # "bfloat16" halves decode HBM
+
+
+def _tile_beams(tree, num_beams: int):
+    """[B, ...] -> [B*num_beams, ...] by repeating each row."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, num_beams, axis=0), tree)
+
+
+def prepare_prefill(cfg: QwenFamilyConfig, batch: dict, gen_len: int,
+                    behavior_emb_id: jnp.ndarray | int):
+    """Model inputs for the prompt forward, plus decode-time constants."""
+    input_ids = batch["input_ids"]
+    attn = batch["attention_mask"]
+    B, S = input_ids.shape
+    K_total = S + gen_len
+    rel = router_ops.rel_positions(attn)
+    block_ids = jnp.where(rel >= 0, rel // cfg.num_positions, -1)
+
+    self_allowed = mask_ops.self_mask(
+        cfg.self_mask_kind, S, attention_mask=attn,
+        session_ids=batch.get("session_ids"), actions=batch.get("actions"),
+        block_ids=block_ids)
+    self_allowed = jnp.broadcast_to(self_allowed, (B, 1, S, S))
+    cross_allowed = None
+    cross_row = None
+    if cfg.cross_attention_layers:
+        cross_allowed = mask_ops.cross_mask(
+            cfg.cross_mask_kind, S, attention_mask=attn,
+            session_ids=batch.get("session_ids"), actions=batch.get("actions"))
+        cross_row = cross_allowed[:, 0, -1, :]  # last prompt token's row [B, S]
+        cross_allowed = _pad_keys(cross_allowed, K_total)
+
+    pos_idx, beh_idx, act_idx = router_ops.route_tokens(
+        input_ids, rel, cfg.num_positions, cfg.behavior_base, cfg.num_behavior)
+    expert_index = None
+    if cfg.moe_action:
+        expert_index = router_ops.moe_action_expert_index(pos_idx, act_idx, cfg.num_experts)
+
+    if cfg.rope_on_extended_session:
+        rope_positions = batch["extended_session_ids"]
+        max_esid = batch["extended_session_ids"].max(axis=-1)  # [B]
+    else:
+        rope_positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        max_esid = None
+
+    inputs = dict(
+        input_ids=input_ids,
+        rope_positions=rope_positions,
+        self_allowed=_pad_keys(self_allowed, K_total),
+        cross_allowed=cross_allowed,
+        position_index=pos_idx,
+        behavior_index=beh_idx,
+        action_index=act_idx,
+        expert_index=expert_index,
+    )
+    consts = dict(cross_row=cross_row, max_esid=max_esid,
+                  attn_ext=jnp.concatenate(
+                      [attn, jnp.ones((B, gen_len), attn.dtype)], axis=1))
+    return inputs, consts
+
+
+def _pad_keys(allowed: jnp.ndarray, k_total: int) -> jnp.ndarray:
+    pad = k_total - allowed.shape[-1]
+    if pad <= 0:
+        return allowed
+    return jnp.pad(allowed, ((0, 0), (0, 0), (0, 0), (0, pad)))
+
+
+def init_caches(cfg: QwenFamilyConfig, batch_size: int, k_total: int, dtype) -> dict:
+    shape = (batch_size, k_total, cfg.num_key_value_heads, cfg.head_dim)
+    mk = lambda: {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    return {
+        "self": [mk() for _ in range(cfg.num_hidden_layers)],
+        "cross": [mk() if i in cfg.cross_attention_layers else None
+                  for i in range(cfg.num_hidden_layers)],
+    }
+
+
+def constrained_beam_search(
+    model: QwenFamilyModel,
+    params,
+    batch: dict,
+    trie: LeveledTrie,
+    behavior_emb_id: int,
+    search_cfg: BeamSearchConfig = BeamSearchConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (codes [B, num_beams, L] 0-based per-level codes sorted by
+    score desc, scores [B, num_beams] sum of log-probs)."""
+    cfg = model.cfg
+    L = trie.num_levels
+    K = search_cfg.num_beams
+    B, S = batch["input_ids"].shape
+    K_total = S + L
+    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
+
+    allowed_tables = [jnp.asarray(a) for a in trie.allowed]
+    child_tables = [jnp.asarray(c) for c in trie.child]
+
+    inputs, consts = prepare_prefill(cfg, batch, L, behavior_emb_id)
+    caches = init_caches(cfg, B, K_total, cache_dtype)
+    out = model.apply(params, **inputs, caches=caches, cache_index=jnp.int32(0),
+                      logits_last_only=True, route_mode="onehot")
+    caches = out["caches"]
+    logits0 = out["logits"][:, 0, :]  # [B, V]
+
+    # ---- step 0: level-0 tokens from the trie root -------------------------
+    base0, size0 = trie.level_token_base[0], trie.level_sizes[0]
+    lvl_logits = logits0[:, base0:base0 + size0]
+    root_allowed = allowed_tables[0][0]  # [size0]
+    logp = jax.nn.log_softmax(jnp.where(root_allowed[None, :], lvl_logits, NEG), axis=-1)
+    logp = jnp.where(root_allowed[None, :], logp, NEG)
+    k0 = min(K, size0)
+    scores, codes0 = jax.lax.top_k(logp, k0)  # [B, k0]
+    if k0 < K:  # more beams than level-0 codes: pad with dead beams
+        scores = jnp.pad(scores, ((0, 0), (0, K - k0)), constant_values=NEG)
+        codes0 = jnp.pad(codes0, ((0, 0), (0, K - k0)))
+    nodes = child_tables[0][0, codes0]  # [B, K]
+    gen_codes = codes0[:, :, None]  # [B, K, 1]
+
+    # beams share prompt caches -> tile
+    caches = {
+        "self": [_tile_beams(c, K) for c in caches["self"]],
+        "cross": [None if c is None else _tile_beams(c, K) for c in caches["cross"]],
+    }
+    attn_ext = jnp.repeat(consts["attn_ext"], K, axis=0)  # [B*K, K_total]
+    cross_row_t = None
+    if consts["cross_row"] is not None:
+        cross_row_t = jnp.repeat(consts["cross_row"], K, axis=0)
+    max_esid_t = None
+    if consts["max_esid"] is not None:
+        max_esid_t = jnp.repeat(consts["max_esid"], K, axis=0)
+    prompt_len_t = jnp.repeat(batch["prompt_len"].astype(jnp.int32), K, axis=0)
+
+    beh = jnp.full((B * K, 1), behavior_emb_id, jnp.int32)
+
+    for step in range(1, L):
+        # token processed now = code chosen at level step-1
+        prev_codes = gen_codes[:, :, step - 1].reshape(B * K)
+        tok = (prev_codes + trie.level_token_base[step - 1]).astype(jnp.int32)[:, None]
+        cache_pos = S + step - 1  # absolute write position in the cache
+        step_idx = jnp.full((B * K,), cache_pos, jnp.int32)
+        self_row = mask_ops.decode_self_row(K_total, step_idx, attn_ext)
+        cross_row = None
+        if cross_row_t is not None:
+            cross_row = mask_ops.decode_cross_row(cross_row_t, K_total, S)
+        # relative position of this token = prompt_len + step - 1
+        rel_g = prompt_len_t + step - 1
+        pos_index = ((rel_g % cfg.num_positions) + 1)[:, None]
+        if cfg.rope_on_extended_session:
+            rope_pos = (max_esid_t + step)[:, None]
+        else:
+            rope_pos = jnp.full((B * K, 1), cache_pos, jnp.int32)
+        expert_index = None
+        if cfg.moe_action:
+            expert_index = router_ops.moe_action_expert_index(pos_index, beh, cfg.num_experts)
+
+        out = model.apply(
+            params,
+            input_ids=tok,
+            rope_positions=rope_pos,
+            self_allowed=self_row,
+            cross_allowed=cross_row,
+            position_index=pos_index,
+            behavior_index=beh,
+            action_index=beh,
+            expert_index=expert_index,
+            route_mode="onehot",
+            caches=caches,
+            cache_index=jnp.int32(cache_pos),
+        )
+        caches = out["caches"]
+        logits = out["logits"][:, 0, :]  # [B*K, V]
+
+        base, size = trie.level_token_base[step], trie.level_sizes[step]
+        lvl_logits = logits[:, base:base + size]
+        node_safe = jnp.maximum(nodes.reshape(B * K), 0)
+        allowed = allowed_tables[step][node_safe]  # [B*K, size]
+        allowed = allowed & (nodes.reshape(B * K) >= 0)[:, None]
+        logp = jax.nn.log_softmax(jnp.where(allowed, lvl_logits, NEG), axis=-1)
+        logp = jnp.where(allowed, logp, NEG)
+
+        total = scores[:, :, None] + logp.reshape(B, K, size)  # [B, K, size]
+        flat = total.reshape(B, K * size)
+        scores, idx = jax.lax.top_k(flat, K)  # [B, K]
+        parent = idx // size  # [B, K]
+        code = idx % size
+
+        # reorder beam state by parent
+        gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        gen_codes = jnp.take_along_axis(gen_codes, parent[:, :, None], axis=1)
+        gen_codes = jnp.concatenate([gen_codes, code[:, :, None]], axis=2)
+        nodes = child_tables[step][
+            jnp.maximum(gather(nodes).reshape(B * K), 0), code.reshape(B * K)
+        ].reshape(B, K)
+
+        # reorder caches: flat index = b*K + parent
+        flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
+        reorder = lambda c: None if c is None else jax.tree_util.tree_map(
+            lambda x: x[flat_parent], c)
+        caches = {
+            "self": [reorder(c) for c in caches["self"]],
+            "cross": [reorder(c) for c in caches["cross"]],
+        }
+
+    return gen_codes, scores

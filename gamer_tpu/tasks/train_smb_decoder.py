@@ -1,0 +1,182 @@
+"""train_SMB_decoder — the flagship GAMER training pipeline.
+
+TPU-native counterpart of the reference task (ref: SeqRec/tasks/train_SMB_decoder.py):
+backbone dispatch over the Qwen3 family presets, SMB dataset with generative
+augmentation, behavior tokens masked from the loss, temperature-scaled CE,
+AdamW + cosine + warmup, early stopping on valid loss, best/last checkpoints.
+
+Differences by design (SURVEY.md section 7): no HF Trainer/tokenizer — integer
+token streams end-to-end, one jitted mesh-sharded train step, orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from gamer_tpu.core.logging import get_logger
+from gamer_tpu.core.mesh import MeshContext
+from gamer_tpu.core.metrics import MetricWriter
+from gamer_tpu.core.registry import TASKS
+from gamer_tpu.data.batching import DecoderBatcher, iterate_batches
+from gamer_tpu.data.loading_smb import load_smb_train
+from gamer_tpu.models.generative.qwen_family import (
+    QwenFamilyConfig, QwenFamilyModel, build_config, prepare_train_inputs)
+from gamer_tpu.modules.losses import causal_lm_loss
+from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.train.loop import Trainer, TrainLoopConfig
+from gamer_tpu.train.state import OptimizerConfig
+
+logger = get_logger("tasks.train_smb_decoder")
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // math.gcd(a, b)
+
+
+def make_model_config(backbone: str, data, base_model: str | None,
+                      temperature: float, model_max_length: int,
+                      dtype: str = "float32", **overrides) -> QwenFamilyConfig:
+    """Derive the model config from the dataset geometry, mirroring the
+    config mutation in the reference task (ref train_SMB_decoder.py:275-382:
+    vocab resize, num_positions/num_experts/behavior_maps injection)."""
+    corpus = data.corpus
+    tc = data.builder.tc
+    derived = dict(
+        vocab_size=corpus.vocab.vocab_size,
+        num_positions=tc,
+        num_experts=tc + 1,
+        num_behavior=len(corpus.behavior_names),
+        behavior_base=corpus.vocab.behavior_base,
+        model_max_length=model_max_length,
+        temperature=temperature,
+        dtype=dtype,
+    )
+    if base_model:
+        file_cfg = QwenFamilyConfig.from_file(base_model).to_dict()
+        file_cfg.update(derived)
+        file_cfg.update(overrides)
+        return build_config(backbone, **{k: v for k, v in file_cfg.items()
+                                         if k in QwenFamilyConfig.field_names()})
+    derived.update(overrides)
+    return build_config(backbone, **derived)
+
+
+def make_loss_fn(model: QwenFamilyModel, cfg: QwenFamilyConfig):
+    def loss_fn(params, batch, rng):
+        inputs = prepare_train_inputs(cfg, batch)
+        out = model.apply(params, **inputs, deterministic=False,
+                          route_mode="periodic", rngs={"dropout": rng})
+        loss = causal_lm_loss(out["logits"], batch["labels"], cfg.temperature,
+                              batch.get("row_valid"))
+        return loss, {}
+    return loss_fn
+
+
+@TASKS.register("train_SMB_decoder")
+class TrainSMBDecoder(Task):
+    name = "train_SMB_decoder"
+    help = "Train a session-wise multi-behavior generative decoder."
+
+    @classmethod
+    def add_args(cls, parser):
+        add_global_args(parser)
+        add_dataset_args(parser)
+        g = parser.add_argument_group("training")
+        g.add_argument("--epochs", type=int, default=200)
+        g.add_argument("--batch_size", type=int, default=1024)
+        g.add_argument("--micro_batch_size", type=int, default=0,
+                       help="per-step batch; 0 = batch_size (grad-accum = batch/micro)")
+        g.add_argument("--learning_rate", "--lr", type=float, default=5e-4)
+        g.add_argument("--weight_decay", type=float, default=0.01)
+        g.add_argument("--warmup_ratio", type=float, default=0.04)
+        g.add_argument("--lr_scheduler_type", type=str, default="cosine")
+        g.add_argument("--temperature", type=float, default=1.0)
+        g.add_argument("--patience", type=int, default=20)
+        g.add_argument("--only_train_response", action="store_true")
+        g.add_argument("--model_max_length", type=int, default=1024)
+        g.add_argument("--dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"])
+        g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
+        g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
+        return parser
+
+    def run(self, *, dataset, data_path, tasks, index_file, max_his_len, backbone,
+            base_model, output_dir, seed, epochs, batch_size, micro_batch_size,
+            learning_rate, weight_decay, warmup_ratio, lr_scheduler_type,
+            temperature, patience, only_train_response, model_max_length, dtype,
+            n_layers=0, hidden_size=0, mesh_ctx=None, **_):
+        data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
+        corpus, builder = data.corpus, data.builder
+
+        overrides = {}
+        if n_layers:
+            overrides["num_hidden_layers"] = n_layers
+        if hidden_size:
+            overrides["hidden_size"] = hidden_size
+        cfg = make_model_config(backbone, data, base_model, temperature,
+                                model_max_length, dtype, **overrides)
+        model = QwenFamilyModel(cfg)
+
+        ctx = mesh_ctx or MeshContext()
+        micro = micro_batch_size or batch_size
+        accum = max(batch_size // micro, 1)
+        pad_multiple = _lcm(builder.tc, 8)
+        # one sequence length across train+valid so jit compiles once
+        batcher = DecoderBatcher.for_examples(
+            data.train + data.valid, pad_multiple=pad_multiple,
+            behavior_token_ids=corpus.vocab.behavior_token_ids,
+            only_train_response=only_train_response)
+        logger.info("model %s: vocab=%d seq_len=%d train=%d valid=%d",
+                    backbone, cfg.vocab_size, batcher.seq_len, len(data.train), len(data.valid))
+
+        steps_per_epoch = max(len(data.train) // micro, 1)
+        opt_cfg = OptimizerConfig(
+            learning_rate=learning_rate, weight_decay=weight_decay,
+            warmup_ratio=warmup_ratio, lr_scheduler_type=lr_scheduler_type,
+            total_steps=steps_per_epoch * epochs)
+        loop_cfg = TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
+                                   gradient_accumulation_steps=accum)
+
+        import jax
+        sample = batcher.collate(data.train[:micro])
+        params = model.init(jax.random.PRNGKey(seed),
+                            **prepare_train_inputs(cfg, sample))["params"]
+        n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+        logger.info("parameters: %.2fM", n_params / 1e6)
+
+        writer = MetricWriter(os.path.join("runs", self.name),
+                              run_name=f"{dataset}-{backbone}",
+                              config=getattr(self, "param_dict", {}))
+        trainer = Trainer(
+            loss_fn=self._wrap_loss(model, cfg), params={"params": params},
+            opt_cfg=opt_cfg, loop_cfg=loop_cfg, mesh_ctx=ctx,
+            output_dir=output_dir, metric_writer=writer)
+
+        def train_batches(epoch):
+            return iterate_batches(data.train, micro, batcher.collate,
+                                   shuffle=True, seed=seed + epoch)
+
+        def eval_batches():
+            return iterate_batches(data.valid, micro, batcher.collate)
+
+        result = trainer.fit(train_batches, eval_batches)
+
+        # persist everything the test task needs
+        os.makedirs(output_dir, exist_ok=True)
+        cfg.save(output_dir)
+        corpus.vocab.save(os.path.join(output_dir, "vocab.json"))
+        logger.info("done: best valid loss %.4f after %d steps",
+                    result["best_metric"], result["steps"])
+        return result
+
+    @staticmethod
+    def _wrap_loss(model, cfg):
+        base = make_loss_fn(model, cfg)
+
+        def loss_fn(variables, batch, rng):
+            return base(variables, batch, rng)
+
+        return loss_fn

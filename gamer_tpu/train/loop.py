@@ -1,0 +1,179 @@
+"""Generic training loop.
+
+TPU-native replacement for the reference's three trainer stacks (HF `Trainer`,
+SeqRec/trainers/RQVAE.py, SeqRec/trainers/SMBRec.py): one loop with
+ * a jitted, mesh-sharded train step (data-parallel gradients via XLA psum —
+   no DDP wrapper, no NCCL; SURVEY.md section 2.9),
+ * per-epoch eval, best-metric checkpointing and early stopping with patience
+   (ref: train_SMB_decoder.py:430-440, trainers/SMBRec.py:152-175),
+ * gradient accumulation via optax.MultiSteps
+   (ref: train_SMB_decoder.py:50-55),
+ * JSONL metric stream (core/metrics.py) standing in for wandb.
+
+The loop is model-agnostic: it consumes `loss_fn(params, batch, rng) ->
+(loss, aux)` so generative, discriminative and RQ-VAE training all reuse it.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gamer_tpu.core.checkpoint import CheckpointManager
+from gamer_tpu.core.config import Config
+from gamer_tpu.core.logging import get_logger
+from gamer_tpu.core.mesh import MeshContext
+from gamer_tpu.core.metrics import MetricWriter
+from gamer_tpu.train.state import OptimizerConfig, TrainState, make_optimizer
+
+logger = get_logger("train")
+
+
+class TrainLoopConfig(Config):
+    epochs: int = 200
+    patience: int = 20  # early-stop after N evals without improvement (<=0: off)
+    eval_every_epochs: int = 1
+    log_every_steps: int = 50
+    gradient_accumulation_steps: int = 1
+    metric_mode: str = "min"  # "min" (valid loss) or "max" (ranking metric)
+    seed: int = 42
+    save_checkpoints: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        loss_fn: Callable[[Any, dict, jax.Array], tuple[jnp.ndarray, dict]],
+        params: Any,
+        opt_cfg: OptimizerConfig,
+        loop_cfg: TrainLoopConfig,
+        mesh_ctx: MeshContext | None = None,
+        output_dir: str | None = None,
+        metric_writer: MetricWriter | None = None,
+        eval_fn: Callable[[Any], tuple[float, dict]] | None = None,
+    ):
+        self.loss_fn = loss_fn
+        self.opt_cfg = opt_cfg
+        self.cfg = loop_cfg
+        self.ctx = mesh_ctx or MeshContext()
+        self.writer = metric_writer
+        self.eval_fn = eval_fn  # optional custom eval: params -> (metric, extras)
+        self.ckpt = CheckpointManager(output_dir) if (output_dir and loop_cfg.save_checkpoints) else None
+
+        tx = make_optimizer(opt_cfg)
+        if loop_cfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, loop_cfg.gradient_accumulation_steps)
+        self.tx = tx
+
+        params = self.ctx.shard_params(params)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                opt_state=tx.init(params))
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.base_rng = jax.random.PRNGKey(loop_cfg.seed)
+
+    # ------------------------------------------------------------------ steps
+
+    def _build_train_step(self):
+        def step(state: TrainState, batch: dict, rng: jax.Array):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def lfn(params):
+                return self.loss_fn(params, batch, rng)
+
+            (loss, aux), grads = jax.value_and_grad(lfn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, loss, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def step(params: Any, batch: dict):
+            loss, aux = self.loss_fn(params, batch, jax.random.PRNGKey(0))
+            return loss, aux
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------ loops
+
+    def evaluate(self, batches: Iterable[dict]) -> float:
+        """Mean loss over batches, weighted by valid rows."""
+        total, weight = 0.0, 0.0
+        for batch in batches:
+            w = float(np.asarray(batch.get("row_valid", np.ones(1))).sum())
+            batch = self.ctx.shard_batch(batch)
+            loss, _ = self._eval_step(self.state.params, batch)
+            total += float(loss) * w
+            weight += w
+        return total / max(weight, 1.0)
+
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterator[dict]],
+        eval_batches: Callable[[], Iterator[dict]] | None = None,
+    ) -> dict:
+        cfg = self.cfg
+        best = np.inf if cfg.metric_mode == "min" else -np.inf
+        better = (lambda a, b: a < b) if cfg.metric_mode == "min" else (lambda a, b: a > b)
+        evals_since_best = 0
+        history = []
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            n_steps, loss_sum = 0, 0.0
+            for batch in train_batches(epoch):
+                batch = self.ctx.shard_batch(batch)
+                self.state, loss, aux = self._train_step(self.state, batch, self.base_rng)
+                loss_sum += float(loss)
+                n_steps += 1
+                if self.writer and n_steps % cfg.log_every_steps == 0:
+                    self.writer.log({"train/loss": float(loss), "epoch": epoch},
+                                    step=int(self.state.step))
+            epoch_loss = loss_sum / max(n_steps, 1)
+            dt = time.time() - t0
+            logger.info("epoch %d: train loss %.4f (%d steps, %.1fs)", epoch, epoch_loss, n_steps, dt)
+
+            metric = None
+            if (epoch + 1) % cfg.eval_every_epochs == 0:
+                if self.eval_fn is not None:
+                    metric, extras = self.eval_fn(self.state.params)
+                    if self.writer:
+                        self.writer.log({"eval/metric": metric, **{f"eval/{k}": v for k, v in extras.items()}},
+                                        step=int(self.state.step))
+                elif eval_batches is not None:
+                    metric = self.evaluate(eval_batches())
+                    if self.writer:
+                        self.writer.log({"eval/loss": metric}, step=int(self.state.step))
+                if metric is not None:
+                    logger.info("epoch %d: eval metric %.4f (best %.4f)", epoch, metric, best)
+                    history.append({"epoch": epoch, "train_loss": epoch_loss, "eval": metric})
+                    if better(metric, best):
+                        best = metric
+                        evals_since_best = 0
+                        if self.ckpt:
+                            self.ckpt.save("best", self.state.params,
+                                           {"epoch": epoch, "metric": float(metric),
+                                            "step": int(self.state.step)})
+                    else:
+                        evals_since_best += 1
+                        if cfg.patience > 0 and evals_since_best >= cfg.patience:
+                            logger.info("early stopping at epoch %d", epoch)
+                            break
+        if self.ckpt:
+            self.ckpt.save("last", self.state.params, {"step": int(self.state.step)})
+        return {"best_metric": float(best), "history": history,
+                "steps": int(self.state.step)}
+
+    # --------------------------------------------------------------- restore
+
+    def best_params(self) -> Any:
+        if self.ckpt and self.ckpt.exists("best"):
+            return self.ckpt.restore("best", template=jax.tree_util.tree_map(np.asarray, self.state.params))
+        return self.state.params

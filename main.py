@@ -1,0 +1,23 @@
+#!/usr/bin/env python
+"""CLI entry: one subcommand per task (parity with the reference's main.py:11-46)."""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    from gamer_tpu.tasks import task_list
+
+    parser = argparse.ArgumentParser("gamer_tpu", description="TPU-native GAMER framework")
+    sub = parser.add_subparsers(dest="task", required=True)
+    for name, cls in task_list.items():
+        cls.add_parser(sub)
+    args = parser.parse_args(argv)
+    task_cls = task_list[args.task]
+    kwargs = vars(args)
+    kwargs.pop("task")
+    return task_cls().invoke(**kwargs)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

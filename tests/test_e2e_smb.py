@@ -1,0 +1,68 @@
+"""End-to-end: synthetic data -> train_SMB_decoder -> test_SMB_decoder + rule."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def e2e_dir(tmp_path_factory):
+    from gamer_tpu.data.synthetic import SyntheticSpec, write_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("e2e")
+    write_synthetic_dataset(str(root / "data"), "Demo", SyntheticSpec(
+        n_users=30, n_items=40, num_levels=2, level_sizes=(8, 10),
+        min_len=6, max_len=16, seed=11))
+    return root
+
+
+def run_cli(argv):
+    from main import main
+
+    return main([str(a) for a in argv])
+
+
+def test_train_eval_rule_pipeline(e2e_dir):
+    train_res = run_cli([
+        "train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--tasks", "smb_explicit_decoder_2", "--backbone", "Qwen3Multi",
+        "--max_his_len", 6, "--epochs", 2, "--batch_size", 8,
+        "--learning_rate", "1e-3", "--temperature", "0.7",
+        "--output_dir", e2e_dir / "ckpt", "--n_layers", 2, "--hidden_size", 16,
+        "--model_max_length", 128])
+    assert np.isfinite(train_res["best_metric"])
+    assert len(train_res["history"]) == 2
+    # loss decreases across epochs
+    assert train_res["history"][1]["train_loss"] < train_res["history"][0]["train_loss"]
+
+    eval_res = run_cli([
+        "test_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--max_his_len", 6, "--test_task", "smb_explicit",
+        "--ckpt_path", e2e_dir / "ckpt", "--test_batch_size", 8,
+        "--num_beams", 4, "--results_file", e2e_dir / "test.json"])
+    assert set(eval_res["per_behavior"]) == {"click", "cart", "buy"}
+    for m, v in eval_res["merged"].items():
+        assert 0.0 <= v <= 1.0, (m, v)
+    assert (e2e_dir / "test.json").exists()
+    saved = json.loads((e2e_dir / "test.json").read_text())
+    assert saved["merged"] == eval_res["merged"]
+
+    rule_res = run_cli([
+        "test_SMB_rule", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--max_his_len", 6, "--test_task", "smb_explicit",
+        "--results_file", e2e_dir / "rule.json", "--unique"])
+    for m, v in rule_res["merged"].items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_valid_loss_mode(e2e_dir):
+    res = run_cli([
+        "test_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--max_his_len", 6, "--test_task", "smb_explicit",
+        "--ckpt_path", e2e_dir / "ckpt",
+        "--results_file", e2e_dir / "valid_loss.json", "--valid_loss"])
+    assert np.isfinite(res["valid_loss"]) and res["valid_loss"] > 0
