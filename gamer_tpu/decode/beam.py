@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gamer_tpu.decode.trie import LeveledTrie
+from gamer_tpu.models.generative.encdec import EncDecModel
 from gamer_tpu.models.generative.qwen_family import QwenFamilyConfig, QwenFamilyModel
 from gamer_tpu.ops import masks as mask_ops
 from gamer_tpu.ops import router as router_ops
@@ -241,5 +242,122 @@ def constrained_beam_search(
             "self": [reorder(c) for c in caches["self"]],
             "cross": [reorder(c) for c in caches["cross"]],
         }
+
+    return gen_codes, scores
+
+
+def constrained_beam_search_encdec(
+    model: EncDecModel,
+    params,
+    batch: dict,  # encoder input_ids/attention_mask (+ optional routing)
+    trie: LeveledTrie,
+    decoder_prefix: np.ndarray,  # [P0] tokens fed before the first item level
+    search_cfg: BeamSearchConfig = BeamSearchConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam search for the enc-dec family (TIGER/PBATransformer).
+
+    `decoder_prefix` is [decoder_start(, behavior_token)] — the reference seeds
+    generation the same way (ref test_SMB_decoder.py:188-195 decoder_input_ids).
+    Returns (codes [B, K, L], scores [B, K]).
+    """
+    cfg = model.cfg
+    L = trie.num_levels
+    K = search_cfg.num_beams
+    B = batch["input_ids"].shape[0]
+    P0 = len(decoder_prefix)
+    cache_len = P0 + L
+    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
+
+    allowed_tables = [jnp.asarray(a) for a in trie.allowed]
+    child_tables = [jnp.asarray(c) for c in trie.child]
+
+    def dec_routing(positions: jnp.ndarray, prefix_tokens: jnp.ndarray):
+        """Routing for decoder tokens by absolute decoder position
+        (matches the PBA decoder router's pre-generated pattern,
+        ref PBATransformer/router.py:187-197)."""
+        P = cfg.num_positions
+        pos_index = (positions % P) + 1
+        # behavior index: block-start token of block 0 is decoder_start (-> 0);
+        # with a behavior token at position 1 it is NOT a block start, so the
+        # reference maps these tokens through the raw block-start value -> 0.
+        beh_index = jnp.zeros_like(pos_index)
+        return pos_index, beh_index
+
+    # ---- prefill: encoder + decoder prefix --------------------------------
+    caches = [{"self": {"k": jnp.zeros((B, cache_len, cfg.num_heads, cfg.d_kv), cache_dtype),
+                        "v": jnp.zeros((B, cache_len, cfg.num_heads, cfg.d_kv), cache_dtype)}}
+              for _ in range(cfg.num_decoder_layers)]
+    prefix = jnp.tile(jnp.asarray(decoder_prefix, jnp.int32)[None], (B, 1))
+    pos0 = jnp.arange(P0)
+    pidx, bidx = dec_routing(pos0, prefix)
+    out = model.apply(
+        params,
+        encoder_input_ids=batch["input_ids"],
+        encoder_attention_mask=batch["attention_mask"],
+        decoder_input_ids=prefix,
+        dec_position_index=jnp.tile(pidx[None], (B, 1)),
+        dec_behavior_index=jnp.tile(bidx[None], (B, 1)),
+        caches=caches, cache_index=jnp.int32(0), dec_positions=pos0,
+        logits_last_only=True)
+    caches = out["caches"]
+    encoder_hidden = out["encoder_hidden"]
+    logits0 = out["logits"][:, 0, :]
+
+    base0, size0 = trie.level_token_base[0], trie.level_sizes[0]
+    lvl_logits = logits0[:, base0:base0 + size0]
+    root_allowed = allowed_tables[0][0]
+    logp = jax.nn.log_softmax(jnp.where(root_allowed[None, :], lvl_logits, NEG), axis=-1)
+    logp = jnp.where(root_allowed[None, :], logp, NEG)
+    k0 = min(K, size0)
+    scores, codes0 = jax.lax.top_k(logp, k0)
+    if k0 < K:
+        scores = jnp.pad(scores, ((0, 0), (0, K - k0)), constant_values=NEG)
+        codes0 = jnp.pad(codes0, ((0, 0), (0, K - k0)))
+    nodes = child_tables[0][0, codes0]
+    gen_codes = codes0[:, :, None]
+
+    caches = [jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0), c) for c in caches]
+    encoder_hidden_t = jnp.repeat(encoder_hidden, K, axis=0)
+    enc_mask_t = jnp.repeat(batch["attention_mask"], K, axis=0)
+
+    for step in range(1, L):
+        prev = gen_codes[:, :, step - 1].reshape(B * K)
+        tok = (prev + trie.level_token_base[step - 1]).astype(jnp.int32)[:, None]
+        dpos = P0 + step - 1
+        pidx, bidx = dec_routing(jnp.array([dpos]), tok)
+        out = model.apply(
+            params,
+            encoder_hidden=encoder_hidden_t,
+            encoder_attention_mask=enc_mask_t,
+            decoder_input_ids=tok,
+            dec_position_index=jnp.tile(pidx[None], (B * K, 1)),
+            dec_behavior_index=jnp.tile(bidx[None], (B * K, 1)),
+            caches=caches, cache_index=jnp.int32(dpos),
+            dec_positions=jnp.array([dpos]),
+            logits_last_only=True)
+        caches = out["caches"]
+        logits = out["logits"][:, 0, :]
+
+        base, size = trie.level_token_base[step], trie.level_sizes[step]
+        lvl_logits = logits[:, base:base + size]
+        node_safe = jnp.maximum(nodes.reshape(B * K), 0)
+        allowed = allowed_tables[step][node_safe]
+        allowed = allowed & (nodes.reshape(B * K) >= 0)[:, None]
+        logp = jax.nn.log_softmax(jnp.where(allowed, lvl_logits, NEG), axis=-1)
+        logp = jnp.where(allowed, logp, NEG)
+
+        total = scores[:, :, None] + logp.reshape(B, K, size)
+        flat = total.reshape(B, K * size)
+        scores, idx = jax.lax.top_k(flat, K)
+        parent = idx // size
+        code = idx % size
+        gen_codes = jnp.take_along_axis(gen_codes, parent[:, :, None], axis=1)
+        gen_codes = jnp.concatenate([gen_codes, code[:, :, None]], axis=2)
+        gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        nodes = child_tables[step][
+            jnp.maximum(gather(nodes).reshape(B * K), 0), code.reshape(B * K)
+        ].reshape(B, K)
+        flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
+        caches = [jax.tree_util.tree_map(lambda x: x[flat_parent], c) for c in caches]
 
     return gen_codes, scores

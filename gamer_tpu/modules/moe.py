@@ -47,7 +47,14 @@ class PositionRoutedMLP(nn.Module):
     num_behavior: int = 0
     behavior_dim: int = 0
     dropout_rate: float = 0.0
+    # PBATransformer shared-expert mode (ref PBATransformer/FFN.py:29-43,108-130):
+    # routed experts emit d_model//2, a shared expert emits the other half.
+    shared_expert: bool = False
     dtype: Any = jnp.float32
+
+    @property
+    def d_out(self) -> int:
+        return self.d_model // 2 if (self.shared_expert and self.is_sparse) else self.d_model
 
     def _expert_params(self):
         d_in = self.d_model + (self.behavior_dim if self.behavior_injection else 0)
@@ -56,11 +63,21 @@ class PositionRoutedMLP(nn.Module):
         if self.mlp_type == "qwen3":
             gate = self.param("experts_gate", init, (E, d_in, self.d_ff))
             up = self.param("experts_up", init, (E, d_in, self.d_ff))
-            down = self.param("experts_down", init, (E, self.d_ff, self.d_model))
+            down = self.param("experts_down", init, (E, self.d_ff, self.d_out))
             return {"gate": gate, "up": up, "down": down}
         wi = self.param("experts_wi", init, (E, d_in, self.d_ff))
-        wo = self.param("experts_wo", init, (E, self.d_ff, self.d_model))
+        wo = self.param("experts_wo", init, (E, self.d_ff, self.d_out))
         return {"wi": wi, "wo": wo}
+
+    def _shared_params(self):
+        d_in = self.d_model + (self.behavior_dim if self.behavior_injection else 0)
+        init = nn.initializers.lecun_normal()
+        if self.mlp_type == "qwen3":
+            return {"gate": self.param("shared_gate", init, (d_in, self.d_ff)),
+                    "up": self.param("shared_up", init, (d_in, self.d_ff)),
+                    "down": self.param("shared_down", init, (self.d_ff, self.d_out))}
+        return {"wi": self.param("shared_wi", init, (d_in, self.d_ff)),
+                "wo": self.param("shared_wo", init, (self.d_ff, self.d_out))}
 
     def _apply_expert(self, x: jnp.ndarray, w: dict, deterministic: bool) -> jnp.ndarray:
         """x [..., d_in] with per-expert weight slices already selected [..., d_in, d_ff]-style
@@ -99,6 +116,9 @@ class PositionRoutedMLP(nn.Module):
             return self._apply_expert(x_in, w, deterministic).astype(x.dtype)
 
         routing = expert_index if expert_index is not None else position_index
+        shared_out = None
+        if self.shared_expert:
+            shared_out = self._apply_expert(x_in, self._shared_params(), deterministic)
 
         if route_mode == "periodic":
             # Exact fast path: token t routes to expert (t % P) + 1. Valid when
@@ -122,7 +142,10 @@ class PositionRoutedMLP(nn.Module):
                 h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["wi"]))
                 h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
                 out = jnp.einsum("bnpf,pfd->bnpd", h, w_sel["wo"])
-            return out.reshape(b, s, self.d_model).astype(x.dtype)
+            out = out.reshape(b, s, self.d_out)
+            if shared_out is not None:
+                out = jnp.concatenate([out, shared_out], axis=-1)
+            return out.astype(x.dtype)
 
         # General path: compute every expert, select per token. Exact for any
         # routing (incl. MoeAction); costs num_experts x FLOPs — used for
@@ -135,4 +158,6 @@ class PositionRoutedMLP(nn.Module):
         stacked = jnp.stack(outs, axis=0)  # [E, B, S, Dout]
         sel = jax.nn.one_hot(routing, E, dtype=stacked.dtype)  # [B, S, E]
         out = jnp.einsum("ebsd,bse->bsd", stacked, sel)
+        if shared_out is not None:
+            out = jnp.concatenate([out, shared_out], axis=-1)
         return out.astype(x.dtype)

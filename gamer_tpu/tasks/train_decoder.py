@@ -1,0 +1,141 @@
+"""train_decoder — single-behavior generative training (TIGER/PBATransformer/Qwen3).
+
+TPU-native counterpart of the reference task (ref: SeqRec/tasks/train_decoder.py):
+leave-two-out SeqRecDataset, backbone dispatch across both generative families,
+temperature CE, AdamW + cosine, early stopping on valid loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from gamer_tpu.core.logging import get_logger
+from gamer_tpu.core.mesh import MeshContext
+from gamer_tpu.core.metrics import MetricWriter
+from gamer_tpu.core.registry import TASKS
+from gamer_tpu.data.batching import DecoderBatcher, EncDecBatcher, iterate_batches
+from gamer_tpu.data.contract import DataFiles
+from gamer_tpu.data.seq import SeqCorpus, SeqExampleBuilder
+from gamer_tpu.data.vocab import EOS_ID
+from gamer_tpu.models.generative.encdec import EncDecModel, build_encdec_config
+from gamer_tpu.models.generative.encdec_utils import encdec_loss_fn, prepare_encdec_inputs
+from gamer_tpu.models.generative.qwen_family import (
+    QWEN_FAMILY_PRESETS, QwenFamilyModel, build_config, prepare_train_inputs)
+from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.train_smb_decoder import _lcm, make_loss_fn
+from gamer_tpu.train.loop import Trainer, TrainLoopConfig
+from gamer_tpu.train.state import OptimizerConfig
+
+logger = get_logger("tasks.train_decoder")
+
+ENCDEC_BACKBONES = ("TIGER", "PBATransformer")
+
+
+def build_seq_model(backbone: str, corpus: SeqCorpus, temperature: float,
+                    model_max_length: int, base_model=None, dtype="float32",
+                    **overrides):
+    """Backbone dispatch (ref train_decoder.py:240-312): derives vocab/geometry
+    from the dataset and builds the right family."""
+    derived = dict(
+        vocab_size=corpus.vocab.vocab_size,
+        num_positions=corpus.sole_item_len,
+        num_experts=corpus.sole_item_len + 1,
+        num_behavior=max(len(corpus.behavior_names), 0),
+        behavior_base=corpus.vocab.behavior_base,
+        temperature=temperature,
+        dtype=dtype,
+    )
+    derived.update(overrides)
+    if backbone in ENCDEC_BACKBONES:
+        cfg = build_encdec_config(backbone, **{k: v for k, v in derived.items()})
+        return EncDecModel(cfg), cfg, "encdec"
+    derived["model_max_length"] = model_max_length
+    cfg = build_config(backbone, **derived)
+    return QwenFamilyModel(cfg), cfg, "decoder_only"
+
+
+@TASKS.register("train_decoder")
+class TrainDecoder(Task):
+    name = "train_decoder"
+    help = "Train a single-behavior generative decoder."
+
+    @classmethod
+    def add_args(cls, parser):
+        add_global_args(parser)
+        add_dataset_args(parser)
+        g = parser.add_argument_group("training")
+        g.add_argument("--inter_type", type=str, default=None)
+        g.add_argument("--epochs", type=int, default=200)
+        g.add_argument("--batch_size", type=int, default=256)
+        g.add_argument("--learning_rate", "--lr", type=float, default=5e-4)
+        g.add_argument("--weight_decay", type=float, default=0.01)
+        g.add_argument("--warmup_ratio", type=float, default=0.04)
+        g.add_argument("--temperature", type=float, default=1.0)
+        g.add_argument("--patience", type=int, default=20)
+        g.add_argument("--model_max_length", type=int, default=1024)
+        g.add_argument("--n_layers", type=int, default=0)
+        g.add_argument("--hidden_size", type=int, default=0)
+        return parser
+
+    def run(self, *, dataset, data_path, index_file, max_his_len, backbone,
+            base_model, output_dir, seed, inter_type, epochs, batch_size,
+            learning_rate, weight_decay, warmup_ratio, temperature, patience,
+            model_max_length, n_layers=0, hidden_size=0, **_):
+        corpus = SeqCorpus(DataFiles(data_path, dataset), index_file,
+                           multi_behavior=False, inter_type=inter_type)
+        builder = SeqExampleBuilder(corpus, max_his_len)
+        train = builder.build("train")
+        valid = builder.build("valid")
+        logger.info("seq train=%d valid=%d", len(train), len(valid))
+
+        overrides = {}
+        if n_layers:
+            if backbone in ENCDEC_BACKBONES:
+                overrides.update(num_layers=n_layers, num_decoder_layers=n_layers)
+            else:
+                overrides["num_hidden_layers"] = n_layers
+        if hidden_size:
+            overrides["d_model" if backbone in ENCDEC_BACKBONES else "hidden_size"] = hidden_size
+        model, cfg, family = build_seq_model(
+            backbone, corpus, temperature, model_max_length, base_model, **overrides)
+
+        import jax
+
+        if family == "encdec":
+            batcher = EncDecBatcher.for_examples(train + valid, eos_id=EOS_ID)
+            loss_fn = encdec_loss_fn(model, cfg)
+            sample = batcher.collate(train[:2])
+            params = model.init(jax.random.PRNGKey(seed),
+                                **prepare_encdec_inputs(cfg, sample))
+        else:
+            batcher = DecoderBatcher.for_examples(
+                train + valid, pad_multiple=_lcm(corpus.sole_item_len, 8))
+            loss_fn = make_loss_fn(model, cfg)
+            sample = batcher.collate(train[:2])
+            params = model.init(jax.random.PRNGKey(seed),
+                                **prepare_train_inputs(cfg, sample))
+
+        steps_per_epoch = max(len(train) // batch_size, 1)
+        trainer = Trainer(
+            loss_fn=loss_fn, params=params,
+            opt_cfg=OptimizerConfig(learning_rate=learning_rate,
+                                    weight_decay=weight_decay,
+                                    warmup_ratio=warmup_ratio,
+                                    total_steps=steps_per_epoch * epochs),
+            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed),
+            mesh_ctx=MeshContext(), output_dir=output_dir,
+            metric_writer=MetricWriter(os.path.join("runs", self.name),
+                                       config=getattr(self, "param_dict", {})))
+
+        result = trainer.fit(
+            lambda epoch: iterate_batches(train, batch_size, batcher.collate,
+                                          shuffle=True, seed=seed + epoch),
+            lambda: iterate_batches(valid, batch_size, batcher.collate))
+        os.makedirs(output_dir, exist_ok=True)
+        cfg.extra["family"] = family
+        cfg.save(output_dir)
+        corpus.vocab.save(os.path.join(output_dir, "vocab.json"))
+        logger.info("done: best valid loss %.4f", result["best_metric"])
+        return result
