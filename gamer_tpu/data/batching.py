@@ -112,10 +112,14 @@ class DecodeBatcher:
     def collate(
         self,
         examples: Sequence[SMBExample],
-        append_behavior_token: int | None = None,
-        append_action_level: int | None = None,
+        append_behavior_token: int | Sequence[int] | None = None,
+        append_action_level: int | Sequence[int] | None = None,
     ) -> dict[str, np.ndarray]:
         B, S = len(examples), self.seq_len
+        if append_behavior_token is not None and not np.isscalar(append_behavior_token):
+            append_behavior_token = np.asarray(append_behavior_token)
+        if append_action_level is not None and not np.isscalar(append_action_level):
+            append_action_level = np.asarray(append_action_level)
         out = {
             "input_ids": np.full((B, S), PAD_ID, dtype=np.int32),
             "attention_mask": np.zeros((B, S), dtype=np.int32),
@@ -126,11 +130,12 @@ class DecodeBatcher:
             "prompt_len": np.zeros(B, dtype=np.int32),
             "row_valid": np.ones(B, dtype=np.int32),
         }
-        extra = 1 if append_behavior_token is not None else 0
         for i, ex in enumerate(examples):
             toks = ex.prompt
             if append_behavior_token is not None:
-                toks = np.concatenate([toks, [append_behavior_token]])
+                btok = (append_behavior_token if np.isscalar(append_behavior_token)
+                        else append_behavior_token[i])
+                toks = np.concatenate([toks, [btok]])
             T = len(toks)
             assert T <= S, f"prompt length {T} exceeds seq_len {S}"
             out["input_ids"][i, S - T:] = toks
@@ -144,7 +149,12 @@ class DecodeBatcher:
                 new_esid = (esid.max() + 1) if len(esid) else 0
                 sid = np.concatenate([sid, [new_sid]])
                 esid = np.concatenate([esid, [new_esid]])
-                level = append_action_level if append_action_level is not None else ACTION_PAD
+                if append_action_level is None:
+                    level = ACTION_PAD
+                elif np.isscalar(append_action_level):
+                    level = append_action_level
+                else:
+                    level = append_action_level[i]
                 act = np.concatenate([act, [level]])
             for key, stream, pad in (
                 ("session_ids", sid, 0),

@@ -122,11 +122,18 @@ def constrained_beam_search(
     params,
     batch: dict,
     trie: LeveledTrie,
-    behavior_emb_id: int,
+    behavior_emb_id,
     search_cfg: BeamSearchConfig = BeamSearchConfig(),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (codes [B, num_beams, L] 0-based per-level codes sorted by
-    score desc, scores [B, num_beams] sum of log-probs)."""
+    score desc, scores [B, num_beams] sum of log-probs).
+
+    `behavior_emb_id` may be an int, a per-example [B] array, or None.
+    None means trie level 0 decodes the *behavior token* itself
+    (test_MB_decoder BEHAVIOR_ITEM mode, ref test_MB_decoder.py:121-127):
+    the per-beam behavior embedding id is then derived from the decoded
+    level-0 code (behavior tokens are a contiguous vocab range, so
+    emb_id = code + 1) and reordered with the beams."""
     cfg = model.cfg
     L = trie.num_levels
     K = search_cfg.num_beams
@@ -137,7 +144,8 @@ def constrained_beam_search(
     allowed_tables = [jnp.asarray(a) for a in trie.allowed]
     child_tables = [jnp.asarray(c) for c in trie.child]
 
-    inputs, consts = prepare_prefill(cfg, batch, L, behavior_emb_id)
+    derive_behavior = behavior_emb_id is None
+    inputs, consts = prepare_prefill(cfg, batch, L, 0 if derive_behavior else behavior_emb_id)
     caches = init_caches(cfg, B, K_total, cache_dtype)
     out = model.apply(params, **inputs, caches=caches, cache_index=jnp.int32(0),
                       logits_last_only=True, route_mode="onehot")
@@ -172,7 +180,12 @@ def constrained_beam_search(
         max_esid_t = jnp.repeat(consts["max_esid"], K, axis=0)
     prompt_len_t = jnp.repeat(batch["prompt_len"].astype(jnp.int32), K, axis=0)
 
-    beh = jnp.full((B * K, 1), behavior_emb_id, jnp.int32)
+    if derive_behavior:
+        beh_bk = (codes0 + 1).astype(jnp.int32)  # [B, K] from decoded behavior tokens
+    elif jnp.ndim(jnp.asarray(behavior_emb_id)) == 1:
+        beh_bk = jnp.tile(jnp.asarray(behavior_emb_id, jnp.int32)[:, None], (1, K))
+    else:
+        beh_bk = jnp.full((B, K), behavior_emb_id, jnp.int32)
 
     for step in range(1, L):
         # token processed now = code chosen at level step-1
@@ -191,6 +204,7 @@ def constrained_beam_search(
             rope_pos = (max_esid_t + step)[:, None]
         else:
             rope_pos = jnp.full((B * K, 1), cache_pos, jnp.int32)
+        beh = beh_bk.reshape(B * K, 1)
         expert_index = None
         if cfg.moe_action:
             expert_index = router_ops.moe_action_expert_index(pos_index, beh, cfg.num_experts)
@@ -233,6 +247,7 @@ def constrained_beam_search(
         nodes = child_tables[step][
             jnp.maximum(gather(nodes).reshape(B * K), 0), code.reshape(B * K)
         ].reshape(B, K)
+        beh_bk = gather(beh_bk)
 
         # reorder caches: flat index = b*K + parent
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)

@@ -9,6 +9,8 @@ from gamer_tpu.tasks import rqvae  # noqa: F401
 from gamer_tpu.tasks import tokenize  # noqa: F401
 from gamer_tpu.tasks import train_decoder  # noqa: F401
 from gamer_tpu.tasks import test_decoder  # noqa: F401
+from gamer_tpu.tasks import train_mb_decoder  # noqa: F401
+from gamer_tpu.tasks import test_mb_decoder  # noqa: F401
 
 task_list = dict(TASKS)
 
