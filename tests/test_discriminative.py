@@ -1,0 +1,145 @@
+"""Discriminative model zoo + SMB-dis data + train_SMB_rec E2E."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from gamer_tpu.data.contract import DataFiles
+from gamer_tpu.data.smb import SMBCorpus
+from gamer_tpu.data.smb_dis import DisBatcher, SMBDisBuilder
+from gamer_tpu.models.discriminative import DIS_MODELS, DisModelConfig
+
+
+@pytest.fixture(scope="module")
+def corpus(synth_dir):
+    return SMBCorpus(DataFiles(synth_dir, "Synth"))
+
+
+@pytest.fixture(scope="module")
+def dis_builder(corpus):
+    return SMBDisBuilder(corpus, max_his_len=8)
+
+
+def tiny_cfg(**kw):
+    d = dict(n_layers=1, n_heads=2, hidden_size=16, inner_size=32,
+             dropout_prob=0.0, embedding_size=16, n_behaviors=3,
+             scales=[4, 3, 9], hyper_len=3, num_buckets=8, max_distance=10)
+    d.update(kw)
+    return DisModelConfig(**d)
+
+
+class TestDisData:
+    def test_train_examples(self, corpus, dis_builder):
+        train = dis_builder.build_train()
+        assert len(train) > 0
+        for ex in train[:10]:
+            assert (ex.inters > 0).all()
+            assert ex.targets[0] >= 1
+            assert len(ex.inter_behaviors) == len(ex.inters)
+
+    def test_diff_ids(self, corpus):
+        b = SMBDisBuilder(corpus, max_his_len=8, diff=True)
+        train = b.build_train()
+        n = b.n_raw_items
+        for ex in train[:10]:
+            expect = ex.inter_behaviors.astype(np.int64) * n + 0  # lower bound
+            assert (ex.inters >= ex.inter_behaviors * n + 1).all()
+        assert b.num_items == 3 * n
+
+    def test_neg_sampling(self, corpus, dis_builder):
+        train = SMBDisBuilder(corpus, max_his_len=8).build_train("neg")
+        assert all(ex.neg_item >= 1 for ex in train)
+
+    def test_eval_mask_slot(self, corpus, dis_builder):
+        ev = dis_builder.build_eval("test", append_mask_slot=True)
+        for ex in ev[:5]:
+            assert ex.inters[-1] == dis_builder.num_items + 1
+            assert ex.inter_behaviors[-1] == -1
+        filt = dis_builder.filter_by_behavior(ev, 2)
+        for ex in filt[:5]:
+            assert ex.inter_behaviors[-1] == 2
+            assert (ex.target_behaviors == 2).all()
+
+    def test_batcher(self, dis_builder):
+        train = dis_builder.build_train()
+        b = DisBatcher.for_examples(train, seq_len=8)
+        batch = b.collate(train[:4])
+        assert batch["inputs"].shape == (4, 8)
+        # behaviors are +1 shifted with 0 padding
+        assert (batch["behaviors"][batch["inputs"] == 0] == 0).all()
+        assert (batch["behaviors"][batch["inputs"] != 0] >= 1).all()
+
+
+ALL_BACKBONES = ["SASRec", "GRU4Rec", "BERT4Rec", "MBSTR", "PBAT", "MBHT"]
+
+
+@pytest.mark.parametrize("backbone", ALL_BACKBONES)
+def test_model_loss_and_scores(backbone, corpus, dis_builder):
+    """Every model: finite masked/CE loss with gradients + full-sort scores."""
+    from gamer_tpu.tasks.train_smb_rec import (build_dis_model, make_dis_loss_fn,
+                                               make_score_fn)
+
+    cfg = tiny_cfg()
+    L = 9 if backbone == "MBHT" else 8
+    n_items = dis_builder.num_items
+    model = build_dis_model(backbone, cfg, n_items, L, 3, len(corpus.users))
+    train = dis_builder.build_train()
+    batcher = DisBatcher.for_examples(train, seq_len=L)
+    batch = {k: jnp.asarray(v) for k, v in batcher.collate(train[:4]).items()}
+    rng = jax.random.PRNGKey(0)
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    M = type(model)
+    if backbone in ("SASRec", "GRU4Rec"):
+        variables = model.init(init_rngs, batch["inputs"], batch["seq_len"],
+                               None, False, method=M.encode_with_table)
+    elif backbone == "BERT4Rec":
+        variables = model.init(init_rngs, batch["inputs"], batch["seq_len"], rng,
+                               None, method=M.calculate_loss)
+    elif backbone == "MBSTR":
+        variables = model.init(init_rngs, batch["inputs"], batch["behaviors"], rng,
+                               None, method=M.calculate_loss)
+    elif backbone == "PBAT":
+        variables = model.init(init_rngs, batch["inputs"], batch["behaviors"],
+                               batch["uid"], rng, None, method=M.calculate_loss)
+    else:
+        variables = model.init(init_rngs, batch["inputs"], batch["behaviors"],
+                               batch["target"], batch["behavior"] + 1,
+                               batch["seq_len"], rng, None, method=M.calculate_loss)
+
+    loss_fn = make_dis_loss_fn(backbone, model, cfg)
+    (loss, _), grads = jax.value_and_grad(
+        lambda v: loss_fn(v, batch, rng), has_aux=True)(variables)
+    assert np.isfinite(float(loss)), backbone
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads)), backbone
+
+    score_fn = make_score_fn(backbone, model)
+    eval_ex = dis_builder.build_eval(
+        "test", append_mask_slot=backbone in ("BERT4Rec", "MBSTR", "PBAT", "MBHT"))
+    eb = DisBatcher.for_examples(eval_ex, seq_len=L)
+    ebatch = {k: jnp.asarray(v) for k, v in eb.collate(eval_ex[:4]).items()}
+    scores = np.asarray(score_fn(variables, ebatch))
+    assert scores.shape == (4, n_items + 1)
+    assert np.isfinite(scores).all()
+
+
+def test_train_smb_rec_cli(synth_dir, tmp_path):
+    from main import main
+
+    res = main(["train_SMB_rec", "--dataset", "Synth", "--data_path", synth_dir,
+                "--tasks", "smb_dis", "--backbone", "SASRec",
+                "--max_his_len", "8", "--epochs", "3", "--batch_size", "32",
+                "--learning_rate", "1e-2", "--patience", "3",
+                "--output_dir", str(tmp_path / "ckpt"),
+                "--result_dir", str(tmp_path / "results")])
+    assert set(res["test"]) == {"click", "cart", "buy"}
+    for b, ms in res["test"].items():
+        for k, v in ms.items():
+            if k != "count":
+                assert 0.0 <= v <= 1.0
+    assert res["best_valid"] > 0  # model learned something above zero
