@@ -69,8 +69,12 @@ class ShardingRules:
 #  - large vocab/item embedding tables -> row-sharded on the model axis
 DEFAULT_RULES = ShardingRules(
     rules=[
-        (r"experts.*/(kernel|embedding)$", P(MODEL_AXIS)),
-        (r"(embed_tokens|item_embedding|lm_head|output_head)/(embedding|kernel)$", P(MODEL_AXIS)),
+        # stacked MoE expert weights [E, d_in, d_ff] (modules/moe.py) -> EP
+        (r"experts_(gate|up|down|wi|wo)$", P(MODEL_AXIS)),
+        # vocab / item / codebook tables -> row-sharded
+        (r"(embed_tokens|item_embedding|shared|item_m|item_c)/(emb/)?embedding$", P(MODEL_AXIS)),
+        (r"codebooks$", P(None, MODEL_AXIS)),
+        (r"lm_head/kernel$", P(None, MODEL_AXIS)),
     ]
 )
 
@@ -116,7 +120,7 @@ class MeshContext:
         for path, leaf in flat:
             path_str = "/".join(_key_str(k) for k in path)
             spec = self.rules.spec_for(path_str)
-            spec = _clip_spec(spec, np.ndim(leaf), self.mesh)
+            spec = _fit_spec(spec, np.shape(leaf), self.mesh)
             shardings.append(NamedSharding(self.mesh, spec))
         return jax.tree_util.tree_unflatten(treedef, shardings)
 
@@ -136,11 +140,20 @@ def _key_str(k: Any) -> str:
     return str(k)
 
 
-def _clip_spec(spec: P, ndim: int, mesh: Mesh) -> P:
-    """Drop trailing spec axes beyond the array rank, and skip axes whose mesh
-    size doesn't divide the dimension (falls back to replication for them)."""
-    parts = list(spec)[:ndim]
-    return P(*parts) if parts else P()
+def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Drop trailing spec axes beyond the array rank; replicate any dimension
+    whose mesh-axis size doesn't divide it (e.g. odd vocab on a 2-way axis)."""
+    parts = list(spec)[: len(shape)]
+    fitted = []
+    for dim, axis in zip(shape, parts + [None] * (len(shape) - len(parts))):
+        if axis is None:
+            fitted.append(None)
+        else:
+            size = mesh.shape[axis]
+            fitted.append(axis if dim % size == 0 else None)
+    while fitted and fitted[-1] is None:
+        fitted.pop()
+    return P(*fitted) if fitted else P()
 
 
 def local_batch_size(global_batch: int, ctx: MeshContext) -> int:

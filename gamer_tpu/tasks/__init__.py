@@ -12,6 +12,7 @@ from gamer_tpu.tasks import test_decoder  # noqa: F401
 from gamer_tpu.tasks import train_mb_decoder  # noqa: F401
 from gamer_tpu.tasks import test_mb_decoder  # noqa: F401
 from gamer_tpu.tasks import train_smb_rec  # noqa: F401
+from gamer_tpu.tasks import semantic_emb  # noqa: F401
 
 task_list = dict(TASKS)
 
