@@ -55,37 +55,30 @@ class DecoderBatcher:
         return cls(seq_len=_round_up(max_len, pad_multiple), pad_multiple=pad_multiple, **kw)
 
     def collate(self, examples: Sequence[SMBExample]) -> dict[str, np.ndarray]:
+        from gamer_tpu import native
+
         B, S = len(examples), self.seq_len
+        rows = [np.concatenate([ex.prompt, ex.targets.reshape(-1)]) for ex in examples]
+        lengths = np.minimum([len(r) for r in rows], S)
+        input_ids = native.pad_rows(rows, S, PAD_ID, left_align=True)
+        attention = (np.arange(S)[None, :] < lengths[:, None]).astype(np.int32)
+        prompt_lens = np.array(
+            [len(ex.prompt) if (self.only_train_response or ex.split == "valid") else -1
+             for ex in examples], dtype=np.int64)
+        labels = native.mask_labels(input_ids, attention, self.behavior_token_ids,
+                                    prompt_lens, IGNORE_LABEL)
         out = {
-            "input_ids": np.full((B, S), PAD_ID, dtype=np.int32),
-            "attention_mask": np.zeros((B, S), dtype=np.int32),
-            "labels": np.full((B, S), IGNORE_LABEL, dtype=np.int32),
-            "session_ids": np.zeros((B, S), dtype=np.int32),
-            "extended_session_ids": np.zeros((B, S), dtype=np.int32),
-            "actions": np.full((B, S), ACTION_PAD, dtype=np.int32),
-            "time": np.full((B, S), TIME_PAD, dtype=np.float32),
+            "input_ids": input_ids,
+            "attention_mask": attention,
+            "labels": labels,
+            "session_ids": native.pad_rows([ex.session_ids for ex in examples], S, 0),
+            "extended_session_ids": native.pad_rows(
+                [ex.extended_session_ids for ex in examples], S, 0),
+            "actions": native.pad_rows([ex.actions for ex in examples], S, ACTION_PAD),
+            "time": native.pad_rows([ex.time for ex in examples], S, TIME_PAD,
+                                    dtype=np.float64),
             "row_valid": np.ones(B, dtype=np.int32),
         }
-        behavior_ids = np.asarray(list(self.behavior_token_ids), dtype=np.int32)
-        for i, ex in enumerate(examples):
-            full = np.concatenate([ex.prompt, ex.targets.reshape(-1)])
-            T = min(len(full), S)
-            out["input_ids"][i, :T] = full[:T]
-            out["attention_mask"][i, :T] = 1
-            labels = full[:T].astype(np.int32)
-            if len(behavior_ids):
-                labels[np.isin(labels, behavior_ids)] = IGNORE_LABEL
-            if self.only_train_response or ex.split == "valid":
-                labels[: len(ex.prompt)] = IGNORE_LABEL
-            out["labels"][i, :T] = labels
-            for key, stream, pad in (
-                ("session_ids", ex.session_ids, 0),
-                ("extended_session_ids", ex.extended_session_ids, 0),
-                ("actions", ex.actions, ACTION_PAD),
-                ("time", ex.time, TIME_PAD),
-            ):
-                L = min(len(stream), S)
-                out[key][i, :L] = stream[:L]
         return out
 
 

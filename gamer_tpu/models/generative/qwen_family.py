@@ -70,6 +70,7 @@ class QwenFamilyConfig(Config):
     behavior_base: int = 14  # first behavior-token id in the vocab
     model_max_length: int = 1024
     dtype: str = "float32"
+    attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (train path)
 
     @property
     def jax_dtype(self):
@@ -144,6 +145,7 @@ class QwenFamilyModel(nn.Module):
         caches: Optional[dict] = None,  # {"self": [L dicts], "cross": [L dicts|None]}
         cache_index: Optional[jnp.ndarray] = None,
         logits_last_only: bool = False,
+        streams: Optional[dict] = None,  # pallas path: integer mask streams
     ) -> dict:
         cfg = self.cfg
         dtype = cfg.jax_dtype
@@ -167,10 +169,12 @@ class QwenFamilyModel(nn.Module):
                 rms_eps=cfg.rms_norm_eps,
                 attention_bias=cfg.attention_bias,
                 dtype=dtype,
+                attention_impl=cfg.attention_impl,
                 name=f"layers_{i}/self_attn",
             )(h, rope_positions, self_allowed,
               kv_cache=None if caches is None else caches["self"][i],
-              cache_index=cache_index)
+              cache_index=cache_index,
+              mask_kind=cfg.self_mask_kind, streams=streams)
             x = residual + drop(attn_out)
 
             new_cross_cache = None
@@ -187,10 +191,12 @@ class QwenFamilyModel(nn.Module):
                     is_cross=True,
                     num_behavior=cfg.num_behavior,
                     dtype=dtype,
+                    attention_impl=cfg.attention_impl,
                     name=f"layers_{i}/cross_attn",
                 )(h, rope_positions, cross_allowed, action_index=action_index,
                   kv_cache=None if caches is None else caches["cross"][i],
-                  cache_index=cache_index)
+                  cache_index=cache_index,
+                  mask_kind=cfg.cross_mask_kind, streams=streams)
                 x = residual + drop(cross_out)
 
             residual = x
@@ -242,15 +248,26 @@ def prepare_train_inputs(cfg: QwenFamilyConfig, batch: dict) -> dict:
     rel = router_ops.rel_positions(attn)
     block_ids = jnp.where(rel >= 0, rel // cfg.num_positions, -1)
 
-    self_allowed = mask_ops.self_mask(
-        cfg.self_mask_kind, S, attention_mask=attn,
-        session_ids=batch.get("session_ids"), actions=batch.get("actions"),
-        block_ids=block_ids)
-    cross_allowed = None
-    if cfg.cross_attention_layers:
-        cross_allowed = mask_ops.cross_mask(
-            cfg.cross_mask_kind, S, attention_mask=attn,
-            session_ids=batch.get("session_ids"), actions=batch.get("actions"))
+    from gamer_tpu.modules.layers import pick_block_q
+
+    streams = None
+    self_allowed = cross_allowed = None
+    zeros = jnp.zeros_like(attn)
+    if cfg.attention_impl.startswith("pallas") and pick_block_q(S) is not None:
+        # masks are evaluated inside the fused kernel from these streams
+        streams = dict(attention_mask=attn,
+                       session_ids=batch.get("session_ids", zeros),
+                       actions=batch.get("actions", zeros),
+                       block_ids=block_ids)
+    else:
+        self_allowed = mask_ops.self_mask(
+            cfg.self_mask_kind, S, attention_mask=attn,
+            session_ids=batch.get("session_ids"), actions=batch.get("actions"),
+            block_ids=block_ids)
+        if cfg.cross_attention_layers:
+            cross_allowed = mask_ops.cross_mask(
+                cfg.cross_mask_kind, S, attention_mask=attn,
+                session_ids=batch.get("session_ids"), actions=batch.get("actions"))
 
     pos_idx, beh_idx, act_idx = router_ops.route_tokens(
         input_ids, rel, cfg.num_positions, cfg.behavior_base, cfg.num_behavior)
@@ -272,4 +289,5 @@ def prepare_train_inputs(cfg: QwenFamilyConfig, batch: dict) -> dict:
         behavior_index=beh_idx,
         action_index=act_idx,
         expert_index=expert_index,
+        streams=streams,
     )

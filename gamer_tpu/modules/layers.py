@@ -70,6 +70,14 @@ def attend(
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
+def pick_block_q(S: int, target: int = 128) -> int | None:
+    """Largest divisor of S that is <= target and a multiple of 8."""
+    for b in range(min(target, S), 7, -1):
+        if S % b == 0 and b % 8 == 0:
+            return b
+    return None
+
+
 class GQAAttention(nn.Module):
     """Qwen3-style grouped-query attention with per-head q/k RMS norm.
 
@@ -77,6 +85,10 @@ class GQAAttention(nn.Module):
     (ref: Qwen3Multi/model.py:60-95,146-149): per-action behavior embeddings of
     width head_dim are added to q/k/v before norm/rope, and the output is gated
     by silu(gating(x)).
+
+    `mask_kind` + `streams` select the fused Pallas kernel
+    (ops/pallas_attention.py) on the train path (no KV cache): the mask is then
+    evaluated inside the kernel instead of materializing `allowed`.
     """
 
     num_heads: int
@@ -88,6 +100,7 @@ class GQAAttention(nn.Module):
     is_cross: bool = False
     num_behavior: int = 0
     dtype: Any = jnp.float32
+    attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret"
 
     @nn.compact
     def __call__(
@@ -98,6 +111,8 @@ class GQAAttention(nn.Module):
         action_index: Optional[jnp.ndarray] = None,  # [B, S] (cross only)
         kv_cache: Optional[dict] = None,  # {"k": [B, K, Hkv, D], "v": ...}
         cache_index: Optional[jnp.ndarray] = None,  # scalar write offset
+        mask_kind: Optional[str] = None,
+        streams: Optional[dict] = None,
     ) -> tuple[jnp.ndarray, Optional[dict]]:
         b, s, d_model = x.shape
         dense = lambda feats, name: nn.Dense(
@@ -131,7 +146,25 @@ class GQAAttention(nn.Module):
             new_cache = {"k": k_all, "v": v_all}
             k, v = k_all, v_all
 
-        out = attend(q, k, v, allowed, self.head_dim ** -0.5)
+        use_pallas = (
+            self.attention_impl.startswith("pallas")
+            and kv_cache is None
+            and mask_kind is not None
+            and streams is not None
+            and pick_block_q(s) is not None
+        )
+        if use_pallas:
+            from gamer_tpu.ops.pallas_attention import fused_mask_attention
+
+            out = fused_mask_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                streams["attention_mask"], streams["session_ids"],
+                streams["actions"], streams["block_ids"],
+                kind=mask_kind, block_q=pick_block_q(s),
+                interpret=self.attention_impl == "pallas_interpret",
+            ).transpose(0, 2, 1, 3)
+        else:
+            out = attend(q, k, v, allowed, self.head_dim ** -0.5)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         out = dense(d_model, "o_proj")(out)
         if self.is_cross:

@@ -155,12 +155,22 @@ class TrainSMBDecoder(Task):
             opt_cfg=opt_cfg, loop_cfg=loop_cfg, mesh_ctx=ctx,
             output_dir=output_dir, metric_writer=writer)
 
+        # arena-resident collation (gamer_tpu/native): one C call per field
+        from gamer_tpu import native
+
+        train_store = native.ExampleStore(
+            data.train, corpus.vocab.behavior_token_ids,
+            only_train_response=only_train_response)
+        valid_store = native.ExampleStore(
+            data.valid, corpus.vocab.behavior_token_ids,
+            only_train_response=only_train_response)
+
         def train_batches(epoch):
-            return iterate_batches(data.train, micro, batcher.collate,
-                                   shuffle=True, seed=seed + epoch)
+            return train_store.iterate(micro, batcher.seq_len, shuffle=True,
+                                       seed=seed + epoch)
 
         def eval_batches():
-            return iterate_batches(data.valid, micro, batcher.collate)
+            return valid_store.iterate(micro, batcher.seq_len)
 
         result = trainer.fit(train_batches, eval_batches)
 

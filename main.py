@@ -2,10 +2,22 @@
 """CLI entry: one subcommand per task (parity with the reference's main.py:11-46)."""
 
 import argparse
+import os
 import sys
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS before backend init: the axon TPU plugin in this
+    image ignores the env var, but jax.config.update (pre-first-use) works."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _apply_platform_env()
     from gamer_tpu.tasks import task_list
 
     parser = argparse.ArgumentParser("gamer_tpu", description="TPU-native GAMER framework")

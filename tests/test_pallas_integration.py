@@ -1,0 +1,28 @@
+"""Model-level parity: pallas-interpret attention vs jnp attention."""
+
+import jax
+import numpy as np
+import pytest
+
+from gamer_tpu.models.generative.qwen_family import (
+    QwenFamilyModel, build_config, prepare_train_inputs)
+from tests.test_qwen_family import make_batch, tiny_config
+
+
+@pytest.mark.parametrize("backbone", ["Qwen3Multi", "Qwen3SessionMulti"])
+def test_pallas_attention_matches_jnp(backbone):
+    cfg_j = tiny_config(backbone, head_dim=16, num_attention_heads=4,
+                        num_key_value_heads=2)
+    cfg_p = cfg_j.replace(attention_impl="pallas_interpret")
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg_j, B=2, blocks=8)  # S = 24, block_q = 24? -> needs div by 8
+    model_j = QwenFamilyModel(cfg_j)
+    model_p = QwenFamilyModel(cfg_p)
+    inputs_j = prepare_train_inputs(cfg_j, batch)
+    inputs_p = prepare_train_inputs(cfg_p, batch)
+    assert inputs_p["streams"] is not None, "pallas path should engage"
+    params = model_j.init(jax.random.PRNGKey(0), **inputs_j)
+    out_j = model_j.apply(params, **inputs_j)["logits"]
+    out_p = model_p.apply(params, **inputs_p)["logits"]
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j),
+                               rtol=2e-4, atol=2e-4)
