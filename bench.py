@@ -39,7 +39,8 @@ def main():
     from gamer_tpu.train.state import OptimizerConfig, make_optimizer
 
     cfg = _flagship_config()
-    cfg = cfg.replace(dtype="bfloat16", dropout_rate=0.0)
+    cfg = cfg.replace(dtype="bfloat16", dropout_rate=0.0,
+                      attention_impl="pallas")
     model = QwenFamilyModel(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, BATCH, BLOCKS, rng)

@@ -83,7 +83,8 @@ class SMBDisBuilder:
 
     def build_train(self, variant: str = "base", seed: int = 42) -> list[DisExample]:
         """variant: base | target (history includes the target event, ref :391-420)
-        | neg (adds sampled negative for BPR, ref :489-535)."""
+        | neg (adds sampled negative for BPR, ref :489-535) | user (one
+        user-level example, random window, ref SMBDisUserLevelDataset :538-572)."""
         rng = np.random.default_rng(seed)
         out: list[DisExample] = []
         for u in range(len(self.c.users)):
@@ -94,6 +95,22 @@ class SMBDisBuilder:
             behs = self.c.user_behaviors[u][:vp]
             sids = self.c.user_sessions[u][:vp]
             times = self.c.user_times[u][:vp]
+            if variant == "user":
+                if len(items) > self.max_his_len and rng.random() > 0.8:
+                    b0 = rng.integers(0, len(items) - self.max_his_len)
+                    items, behs = items[b0:b0 + self.max_his_len], behs[b0:b0 + self.max_his_len]
+                    sids, times = sids[b0:b0 + self.max_his_len], times[b0:b0 + self.max_his_len]
+                h_items, h_behs = self._cut(items, behs)
+                s, a, t = self._streams(sids, behs, times, extra=False)
+                out.append(DisExample(
+                    inters=self.shift(h_items, h_behs),
+                    inter_behaviors=h_behs.copy(),
+                    targets=self.shift(items[-1:], behs[-1:]),
+                    target_behaviors=behs[-1:].copy(),
+                    session_ids=s, actions=a, time=t, split="train",
+                    uid=u + 1 if self.add_uid else 0,
+                ))
+                continue
             negs = None
             if variant == "neg":
                 pool = np.setdiff1d(np.arange(self.n_raw_items), np.unique(items))
@@ -233,6 +250,11 @@ class DisBatcher:
             "n_targets": np.zeros(B, dtype=np.int32),
             "row_valid": np.ones(B, dtype=np.int32),
         }
+        if examples and examples[0].all_item is not None:
+            C = max(len(e.all_item) for e in examples)
+            out["all_item"] = np.zeros((B, C), dtype=np.int32)
+            for i, ex in enumerate(examples):
+                out["all_item"][i, :len(ex.all_item)] = ex.all_item
         for i, ex in enumerate(examples):
             T = min(len(ex.inters), L)
             out["inputs"][i, :T] = ex.inters[-L:]

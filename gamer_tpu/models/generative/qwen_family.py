@@ -248,12 +248,12 @@ def prepare_train_inputs(cfg: QwenFamilyConfig, batch: dict) -> dict:
     rel = router_ops.rel_positions(attn)
     block_ids = jnp.where(rel >= 0, rel // cfg.num_positions, -1)
 
-    from gamer_tpu.modules.layers import pick_block_q
+    from gamer_tpu.modules.layers import pallas_attention_ok
 
     streams = None
     self_allowed = cross_allowed = None
     zeros = jnp.zeros_like(attn)
-    if cfg.attention_impl.startswith("pallas") and pick_block_q(S) is not None:
+    if cfg.attention_impl.startswith("pallas") and pallas_attention_ok(S):
         # masks are evaluated inside the fused kernel from these streams
         streams = dict(attention_mask=attn,
                        session_ids=batch.get("session_ids", zeros),

@@ -70,12 +70,9 @@ def attend(
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
-def pick_block_q(S: int, target: int = 128) -> int | None:
-    """Largest divisor of S that is <= target and a multiple of 8."""
-    for b in range(min(target, S), 7, -1):
-        if S % b == 0 and b % 8 == 0:
-            return b
-    return None
+def pallas_attention_ok(S: int) -> bool:
+    """Whole-head S x S score tiles must fit VMEM (~16MB/core at f32)."""
+    return S <= 1024
 
 
 class GQAAttention(nn.Module):
@@ -151,7 +148,7 @@ class GQAAttention(nn.Module):
             and kv_cache is None
             and mask_kind is not None
             and streams is not None
-            and pick_block_q(s) is not None
+            and pallas_attention_ok(s)
         )
         if use_pallas:
             from gamer_tpu.ops.pallas_attention import fused_mask_attention
@@ -160,8 +157,7 @@ class GQAAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
                 streams["attention_mask"], streams["session_ids"],
                 streams["actions"], streams["block_ids"],
-                kind=mask_kind, block_q=pick_block_q(s),
-                interpret=self.attention_impl == "pallas_interpret",
+                mask_kind, self.attention_impl == "pallas_interpret",
             ).transpose(0, 2, 1, 3)
         else:
             out = attend(q, k, v, allowed, self.head_dim ** -0.5)

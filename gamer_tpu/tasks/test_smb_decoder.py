@@ -64,16 +64,12 @@ class TestSMBDecoder(Task):
     def run(self, *, dataset, data_path, index_file, max_his_len, test_task,
             ckpt_path, ckpt_tag, results_file, test_batch_size, num_beams,
             metrics, behaviors, valid_loss, cache_dtype="float32", **_):
-        cfg = QwenFamilyConfig.from_file(ckpt_path)
-        vocab = SemanticVocab.load(os.path.join(ckpt_path, "vocab.json"))
-        model = QwenFamilyModel(cfg)
+        from gamer_tpu.tasks.test_decoder import load_generative_model
+
+        model, cfg, params, vocab, self.family = load_generative_model(ckpt_path, ckpt_tag)
         data = load_smb_test(dataset, data_path, max_his_len, index_file, test_task)
         corpus = data.corpus
         metric_list = metrics.split(",")
-
-        # restore params against a template built from a sample init
-        ckpt = CheckpointManager(ckpt_path)
-        params = ckpt.restore(ckpt_tag)
 
         if valid_loss:
             return self._valid_loss(model, cfg, params, dataset, data_path,
@@ -129,11 +125,21 @@ class TestSMBDecoder(Task):
     def _eval_behavior(self, model, cfg, params, corpus, vocab, trie, examples,
                        behavior, b_idx, num_beams, batch_size, metric_list,
                        cache_dtype):
-        batcher = DecodeBatcher.for_examples(examples, extra=1)
+        from gamer_tpu.data.batching import EncDecBatcher
+        from gamer_tpu.decode.beam import constrained_beam_search_encdec
+        from gamer_tpu.data.vocab import EOS_ID
+
+        family = getattr(self, "family", "decoder_only")
         btok = vocab.behavior_token(behavior)
         level = int(corpus.behavior_levels[b_idx])
         beh_emb_id = b_idx + 1
         L = trie.num_levels
+        if family == "encdec":
+            batcher = EncDecBatcher.for_examples(examples, eos_id=EOS_ID)
+            # decoder seeded with [start, behavior_token] (ref :188-195)
+            prefix = np.asarray([cfg.decoder_start_token_id, btok], np.int32)
+        else:
+            batcher = DecodeBatcher.for_examples(examples, extra=1)
 
         totals: dict[str, float] = {m: 0.0 for m in metric_list}
         count = 0
@@ -144,10 +150,15 @@ class TestSMBDecoder(Task):
             n_real = len(batch_ex)
             if n_real < batch_size:  # pad to static shape for jit
                 batch_ex = list(batch_ex) + [batch_ex[0]] * (batch_size - n_real)
-            batch = batcher.collate(batch_ex, append_behavior_token=btok,
-                                    append_action_level=level)
-            codes, scores = constrained_beam_search(
-                model, params, _to_jnp(batch), trie, beh_emb_id, search)
+            if family == "encdec":
+                batch = batcher.collate(batch_ex)
+                codes, scores = constrained_beam_search_encdec(
+                    model, params, _to_jnp(batch), trie, prefix, search)
+            else:
+                batch = batcher.collate(batch_ex, append_behavior_token=btok,
+                                        append_action_level=level)
+                codes, scores = constrained_beam_search(
+                    model, params, _to_jnp(batch), trie, beh_emb_id, search)
             codes = np.asarray(codes)[:n_real]  # [B, K, L] 0-based level codes
             batch_ex = batch_ex[:n_real]
             # targets: strip the behavior token column -> per-level codes
@@ -181,12 +192,36 @@ class TestSMBDecoder(Task):
             tdata.valid, behavior_token_ids=data.corpus.vocab.behavior_token_ids)
         total, n = 0.0, 0
 
-        @jax.jit
-        def eval_step(batch):
-            inputs = prepare_train_inputs(cfg, batch)
-            out = model.apply(params, **inputs, route_mode="onehot")
-            return causal_lm_loss(out["logits"], batch["labels"], cfg.temperature,
-                                  batch.get("row_valid"))
+        family = getattr(self, "family", "decoder_only")
+        if family == "encdec":
+            from gamer_tpu.data.batching import EncDecBatcher
+            from gamer_tpu.data.vocab import EOS_ID
+            from gamer_tpu.models.generative.encdec_utils import encdec_loss_fn
+
+            from gamer_tpu.models.generative.encdec_utils import prepare_encdec_inputs
+            from gamer_tpu.modules.losses import IGNORE_LABEL
+            import jax.numpy as jnp
+
+            batcher = EncDecBatcher.for_examples(tdata.valid, eos_id=EOS_ID)
+
+            @jax.jit
+            def eval_step(batch):
+                inputs = prepare_encdec_inputs(cfg, batch)
+                out = model.apply(params, **inputs)  # deterministic
+                logits = out["logits"].astype(jnp.float32) / cfg.temperature
+                labels = batch["labels"]
+                valid = (labels != IGNORE_LABEL) & (batch["row_valid"][:, None] == 1)
+                safe = jnp.where(valid, labels, 0)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+                return jnp.where(valid, nll, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+        else:
+            @jax.jit
+            def eval_step(batch):
+                inputs = prepare_train_inputs(cfg, batch)
+                out = model.apply(params, **inputs, route_mode="onehot")
+                return causal_lm_loss(out["logits"], batch["labels"], cfg.temperature,
+                                      batch.get("row_valid"))
 
         for batch in iterate_batches(tdata.valid, 32, batcher.collate):
             w = int(batch["row_valid"].sum())

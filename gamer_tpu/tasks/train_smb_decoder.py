@@ -99,6 +99,9 @@ class TrainSMBDecoder(Task):
         g.add_argument("--model_max_length", type=int, default=1024)
         g.add_argument("--dtype", type=str, default="float32",
                        choices=["float32", "bfloat16"])
+        g.add_argument("--attention_impl", type=str, default="auto",
+                       choices=["auto", "jnp", "pallas"],
+                       help="auto = fused Pallas kernel on TPU, jnp elsewhere")
         g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
         g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
         return parser
@@ -107,11 +110,28 @@ class TrainSMBDecoder(Task):
             base_model, output_dir, seed, epochs, batch_size, micro_batch_size,
             learning_rate, weight_decay, warmup_ratio, lr_scheduler_type,
             temperature, patience, only_train_response, model_max_length, dtype,
-            n_layers=0, hidden_size=0, mesh_ctx=None, **_):
+            n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto", **_):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
-        overrides = {}
+        import jax
+
+        if attention_impl == "auto":
+            attention_impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
+        # enc-dec backbones on SMB data (ref train_SMB_decoder.py:194-240
+        # dispatches TIGER/PBATransformer too)
+        from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES
+
+        if backbone in ENCDEC_BACKBONES:
+            return self._run_encdec(
+                data=data, backbone=backbone, base_model=base_model,
+                output_dir=output_dir, seed=seed, epochs=epochs,
+                batch_size=micro_batch_size or batch_size,
+                learning_rate=learning_rate, weight_decay=weight_decay,
+                warmup_ratio=warmup_ratio, temperature=temperature,
+                patience=patience, n_layers=n_layers, hidden_size=hidden_size)
+
+        overrides = {"attention_impl": attention_impl}
         if n_layers:
             overrides["num_hidden_layers"] = n_layers
         if hidden_size:
@@ -176,10 +196,69 @@ class TrainSMBDecoder(Task):
 
         # persist everything the test task needs
         os.makedirs(output_dir, exist_ok=True)
+        cfg.extra["family"] = "decoder_only"
         cfg.save(output_dir)
         corpus.vocab.save(os.path.join(output_dir, "vocab.json"))
         logger.info("done: best valid loss %.4f after %d steps",
                     result["best_metric"], result["steps"])
+        return result
+
+    def _run_encdec(self, *, data, backbone, base_model, output_dir, seed,
+                    epochs, batch_size, learning_rate, weight_decay,
+                    warmup_ratio, temperature, patience, n_layers, hidden_size):
+        """TIGER/PBATransformer on SMB data (seq2seq: history -> target block)."""
+        import jax
+
+        from gamer_tpu.data.batching import EncDecBatcher
+        from gamer_tpu.data.vocab import EOS_ID
+        from gamer_tpu.models.generative.encdec import EncDecModel, build_encdec_config
+        from gamer_tpu.models.generative.encdec_utils import (
+            encdec_loss_fn, prepare_encdec_inputs)
+
+        corpus = data.corpus
+        tc = data.builder.tc
+        overrides = dict(
+            vocab_size=corpus.vocab.vocab_size, num_positions=tc,
+            num_experts=tc + 1, num_behavior=len(corpus.behavior_names),
+            behavior_base=corpus.vocab.behavior_base, temperature=temperature)
+        if n_layers:
+            overrides.update(num_layers=n_layers, num_decoder_layers=n_layers)
+        if hidden_size:
+            overrides["d_model"] = hidden_size
+        if base_model:
+            from gamer_tpu.models.generative.encdec import EncDecConfig
+
+            file_cfg = EncDecConfig.from_file(base_model).to_dict()
+            file_cfg.update(overrides)
+            overrides = {k: v for k, v in file_cfg.items()
+                         if k in EncDecConfig.field_names()}
+        cfg = build_encdec_config(backbone, **overrides)
+        model = EncDecModel(cfg)
+        batcher = EncDecBatcher.for_examples(data.train + data.valid, eos_id=EOS_ID)
+        loss_fn = encdec_loss_fn(model, cfg)
+        sample = batcher.collate(data.train[:2])
+        params = model.init(jax.random.PRNGKey(seed),
+                            **prepare_encdec_inputs(cfg, sample))
+        steps_per_epoch = max(len(data.train) // batch_size, 1)
+        trainer = Trainer(
+            loss_fn=loss_fn, params=params,
+            opt_cfg=OptimizerConfig(learning_rate=learning_rate,
+                                    weight_decay=weight_decay,
+                                    warmup_ratio=warmup_ratio,
+                                    total_steps=steps_per_epoch * epochs),
+            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed),
+            mesh_ctx=MeshContext(), output_dir=output_dir,
+            metric_writer=MetricWriter(os.path.join("runs", self.name),
+                                       config=getattr(self, "param_dict", {})))
+        result = trainer.fit(
+            lambda epoch: iterate_batches(data.train, batch_size, batcher.collate,
+                                          shuffle=True, seed=seed + epoch),
+            lambda: iterate_batches(data.valid, batch_size, batcher.collate))
+        os.makedirs(output_dir, exist_ok=True)
+        cfg.extra["family"] = "encdec"
+        cfg.save(output_dir)
+        corpus.vocab.save(os.path.join(output_dir, "vocab.json"))
+        logger.info("done: best valid loss %.4f", result["best_metric"])
         return result
 
     @staticmethod

@@ -143,9 +143,21 @@ def make_score_fn(backbone: str, model):
 
 
 def rank_targets(scores: np.ndarray, targets_padded: np.ndarray,
-                 item_range=None) -> np.ndarray:
-    """rank of each padded target = #items scoring strictly higher."""
+                 item_range=None, candidates=None) -> np.ndarray:
+    """rank of each padded target = #items scoring strictly higher.
+
+    With `candidates` [B, C] (sampled eval, ref SMBDisNegSampleEvalDataset)
+    the rank is computed within targets + candidates only."""
     tgt_scores = np.take_along_axis(scores, targets_padded, axis=1)  # [B, T]
+    if candidates is not None:
+        n_targets = candidates["n_targets"]
+        cand = candidates["all_item"]
+        cand_scores = np.take_along_axis(scores, cand, axis=1)  # [B, C]
+        # padded target slots must not pollute the pool
+        t_valid = np.arange(targets_padded.shape[1])[None] < n_targets[:, None]
+        pool = np.concatenate(
+            [np.where(t_valid, tgt_scores, -np.inf), cand_scores], axis=1)
+        return (pool[:, None, :] > tgt_scores[:, :, None]).sum(-1)
     if item_range is not None:
         lo, hi = item_range
         valid = (np.arange(scores.shape[1]) >= lo) & (np.arange(scores.shape[1]) < hi)
@@ -185,20 +197,30 @@ class TrainSMBRec(Task):
         import optax
 
         corpus = SMBCorpus(DataFiles(data_path, dataset), index_file)
+        # task grammar (ref loading_SMB_dis.py:18-175):
+        # smb_dis[_sample][_diff][_target|_neg|_decoder][_uid]
         task_parts = set(tasks.lower().split("_"))
         diff = "diff" in task_parts
+        sampled_eval = "sample" in task_parts
         builder = SMBDisBuilder(corpus, max_his_len, diff=diff,
                                 add_uid=(backbone == "PBAT") or "uid" in task_parts)
-        variant = "target" if ("target" in task_parts or backbone == "MBHT") else (
-            "neg" if "neg" in task_parts else "base")
+        if "decoder" in task_parts:
+            variant = "user"
+        elif "neg" in task_parts:
+            variant = "neg"
+        elif "target" in task_parts:
+            variant = "target"
+        else:
+            variant = "base"
+        train = builder.build_train(variant, seed)
         # MBHT trains only on target-behavior examples (ref train_SMB_rec.py:240-241)
-        train = builder.build_train(variant if variant != "target" else "base", seed)
         if backbone == "MBHT":
             train = [e for e in train
                      if int(e.target_behaviors[0]) == corpus.target_behavior_idx]
         masked = backbone in MASKED_MODELS
-        valid = builder.build_eval("valid", append_mask_slot=masked)
-        test = builder.build_eval("test", append_mask_slot=masked)
+        num_neg = 1000 if sampled_eval else 0
+        valid = builder.build_eval("valid", append_mask_slot=masked, num_neg=num_neg)
+        test = builder.build_eval("test", append_mask_slot=masked, num_neg=num_neg)
         metric_list = metrics.split(",")
 
         cfg = (DisModelConfig.from_file(base_model) if base_model
@@ -284,7 +306,12 @@ class TrainSMBRec(Task):
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 scores = np.asarray(score_fn(variables, jbatch))[:n_real]
                 item_range = chunk[0].item_range
-                ranks = rank_targets(scores, batch["targets_padded"][:n_real], item_range)
+                cands = None
+                if "all_item" in batch:
+                    cands = {"all_item": batch["all_item"][:n_real],
+                             "n_targets": batch["n_targets"][:n_real]}
+                ranks = rank_targets(scores, batch["targets_padded"][:n_real],
+                                     item_range, cands)
                 for m, v in dis_eval_metrics(ranks, batch["n_targets"][:n_real],
                                              metric_list).items():
                     sums[m] += v

@@ -143,3 +143,36 @@ def test_train_smb_rec_cli(synth_dir, tmp_path):
             if k != "count":
                 assert 0.0 <= v <= 1.0
     assert res["best_valid"] > 0  # model learned something above zero
+
+
+def test_sampled_eval_cli(synth_dir, tmp_path):
+    """smb_dis_sample: 1000-negative sampled evaluation path."""
+    from main import main
+
+    res = main(["train_SMB_rec", "--dataset", "Synth", "--data_path", synth_dir,
+                "--tasks", "smb_dis_sample", "--backbone", "SASRec",
+                "--max_his_len", "8", "--epochs", "1", "--batch_size", "32",
+                "--output_dir", str(tmp_path / "ckpt"),
+                "--result_dir", str(tmp_path / "results")])
+    for b, ms in res["test"].items():
+        for k, v in ms.items():
+            if k != "count":
+                assert 0.0 <= v <= 1.0
+
+
+def test_user_level_and_neg_variants(synth_dir, tmp_path):
+    from gamer_tpu.data.contract import DataFiles
+    from gamer_tpu.data.smb import SMBCorpus
+    from gamer_tpu.data.smb_dis import SMBDisBuilder
+
+    corpus = SMBCorpus(DataFiles(synth_dir, "Synth"))
+    b = SMBDisBuilder(corpus, max_his_len=8)
+    user = b.build_train("user")
+    # one example per eligible user
+    assert len(user) == sum(1 for u in range(len(corpus.users))
+                            if corpus.valid_pos[u] > 0)
+    ev = b.build_eval("test", num_neg=50)
+    for ex in ev[:5]:
+        assert ex.all_item is not None and len(ex.all_item) <= 50
+        # negatives exclude the user's history
+        hist = set((corpus.user_items[0] + 1).tolist())

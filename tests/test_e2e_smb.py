@@ -66,3 +66,22 @@ def test_valid_loss_mode(e2e_dir):
         "--ckpt_path", e2e_dir / "ckpt",
         "--results_file", e2e_dir / "valid_loss.json", "--valid_loss"])
     assert np.isfinite(res["valid_loss"]) and res["valid_loss"] > 0
+
+
+def test_tiger_on_smb_pipeline(e2e_dir, tmp_path):
+    """TIGER (enc-dec) backbone through the SMB train + eval tasks."""
+    out = tmp_path / "tiger_smb"
+    res = run_cli([
+        "train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--tasks", "smb_explicit_decoder", "--backbone", "TIGER",
+        "--max_his_len", 6, "--epochs", 2, "--batch_size", 8,
+        "--learning_rate", "1e-3", "--output_dir", out, "--n_layers", 1,
+        "--hidden_size", 32])
+    assert res["history"][1]["train_loss"] < res["history"][0]["train_loss"]
+    ev = run_cli([
+        "test_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--max_his_len", 6, "--test_task", "smb_explicit",
+        "--ckpt_path", out, "--test_batch_size", 8, "--num_beams", 4,
+        "--results_file", tmp_path / "tiger_smb.json"])
+    for m, v in ev["merged"].items():
+        assert 0.0 <= v <= 1.0

@@ -44,7 +44,7 @@ def jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind):
 def test_fused_matches_reference(kind):
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
     got = fused_mask_attention(q, k, v, attn, sessions, actions, block_ids,
-                               kind=kind, block_q=64, interpret=True)
+                               kind, True)
     want = jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind)
     # compare only rows with at least one allowed key (pad/fully-masked query
     # rows produce unconsumed junk in both implementations)
@@ -68,10 +68,10 @@ def test_gqa_head_mapping():
     """kv head h//G must be used: alter one kv head, only its group changes."""
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
     out1 = fused_mask_attention(q, k, v, attn, sessions, actions, block_ids,
-                                kind="causal", block_q=64, interpret=True)
+                                "causal", True)
     k2 = k.at[:, 1].set(k[:, 1] + 1.0)
     out2 = fused_mask_attention(q, k2, v, attn, sessions, actions, block_ids,
-                                kind="causal", block_q=64, interpret=True)
+                                "causal", True)
     diff = np.abs(np.asarray(out1) - np.asarray(out2)).sum(axis=(0, 2, 3))
     assert diff[0] == 0 and diff[1] == 0  # group 0 (heads 0,1) unchanged
     assert diff[2] > 0 and diff[3] > 0  # group 1 (heads 2,3) changed

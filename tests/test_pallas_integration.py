@@ -9,6 +9,35 @@ from gamer_tpu.models.generative.qwen_family import (
 from tests.test_qwen_family import make_batch, tiny_config
 
 
+def test_pallas_gradients_match_jnp():
+    """Autodiff through the fused kernel must match the jnp path (train step)."""
+    from gamer_tpu.modules.losses import causal_lm_loss
+
+    cfg_j = tiny_config("Qwen3Multi", head_dim=16, num_attention_heads=4,
+                        num_key_value_heads=2)
+    cfg_p = cfg_j.replace(attention_impl="pallas_interpret")
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, cfg_j, B=2, blocks=8)
+    model_j = QwenFamilyModel(cfg_j)
+    model_p = QwenFamilyModel(cfg_p)
+    inputs_j = prepare_train_inputs(cfg_j, batch)
+    inputs_p = prepare_train_inputs(cfg_p, batch)
+    params = model_j.init(jax.random.PRNGKey(0), **inputs_j)
+
+    def loss(model, inputs):
+        def f(p):
+            out = model.apply(p, **inputs)
+            return causal_lm_loss(out["logits"], batch["labels"], 0.7)
+        return f
+
+    g_j = jax.grad(loss(model_j, inputs_j))(params)
+    g_p = jax.grad(loss(model_p, inputs_p))(params)
+    leaves_j = jax.tree_util.tree_leaves(g_j)
+    leaves_p = jax.tree_util.tree_leaves(g_p)
+    for a, b in zip(leaves_j, leaves_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.parametrize("backbone", ["Qwen3Multi", "Qwen3SessionMulti"])
 def test_pallas_attention_matches_jnp(backbone):
     cfg_j = tiny_config(backbone, head_dim=16, num_attention_heads=4,
