@@ -48,7 +48,8 @@ class TestSMBDecoder(Task):
         add_dataset_args(parser)
         g = parser.add_argument_group("test")
         g.add_argument("--ckpt_path", type=str, default="./checkpoint")
-        g.add_argument("--ckpt_tag", type=str, default="best", choices=["best", "last"])
+        g.add_argument("--ckpt_tag", type=str, default="best",
+                       help="best | last | epoch_<N>")
         g.add_argument("--results_file", type=str, default="./results/test.json")
         g.add_argument("--test_batch_size", type=int, default=16)
         g.add_argument("--num_beams", type=int, default=20)
@@ -130,6 +131,12 @@ class TestSMBDecoder(Task):
         from gamer_tpu.data.vocab import EOS_ID
 
         family = getattr(self, "family", "decoder_only")
+        # multi-host eval: stride examples across processes and sum the metric
+        # tensors at the end (replaces the reference's all_gather_object of
+        # pickled python lists, ref :232-255 / SURVEY.md 2.9)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            examples = examples[jax.process_index()::n_proc]
         btok = vocab.behavior_token(behavior)
         level = int(corpus.behavior_levels[b_idx])
         beh_emb_id = b_idx + 1
@@ -178,6 +185,15 @@ class TestSMBDecoder(Task):
                 gen = {tuple(r) for r in codes[i].tolist()}
                 dup_sum += len(gen & hist) / max(len(gen), 1)
                 dup_n += 1
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            vec = np.array([totals[m] for m in metric_list] +
+                           [count, dup_sum, dup_n], dtype=np.float64)
+            summed = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+            totals = {m: float(summed[i]) for i, m in enumerate(metric_list)}
+            count = int(summed[len(metric_list)])
+            dup_sum, dup_n = summed[-2], summed[-1]
         return {"metrics": totals, "count": count,
                 "duplicate_ratio": dup_sum / max(dup_n, 1)}
 

@@ -102,6 +102,12 @@ class TrainSMBDecoder(Task):
         g.add_argument("--attention_impl", type=str, default="auto",
                        choices=["auto", "jnp", "pallas"],
                        help="auto = fused Pallas kernel on TPU, jnp elsewhere")
+        g.add_argument("--resume_from_checkpoint", action="store_true",
+                       help="resume params/optimizer/epoch from output_dir")
+        g.add_argument("--save_epochs", type=int, default=0,
+                       help="periodic epoch snapshots (keep newest 2)")
+        g.add_argument("--profile_dir", type=str, default=None,
+                       help="write a jax.profiler trace of a few steps here")
         g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
         g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
         return parser
@@ -110,7 +116,8 @@ class TrainSMBDecoder(Task):
             base_model, output_dir, seed, epochs, batch_size, micro_batch_size,
             learning_rate, weight_decay, warmup_ratio, lr_scheduler_type,
             temperature, patience, only_train_response, model_max_length, dtype,
-            n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto", **_):
+            n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto",
+            resume_from_checkpoint=False, save_epochs=0, profile_dir=None, **_):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
@@ -158,7 +165,9 @@ class TrainSMBDecoder(Task):
             warmup_ratio=warmup_ratio, lr_scheduler_type=lr_scheduler_type,
             total_steps=steps_per_epoch * epochs)
         loop_cfg = TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
-                                   gradient_accumulation_steps=accum)
+                                   gradient_accumulation_steps=accum,
+                                   snapshot_every_epochs=save_epochs,
+                                   resume=resume_from_checkpoint)
 
         import jax
         sample = batcher.collate(data.train[:micro])
@@ -191,6 +200,16 @@ class TrainSMBDecoder(Task):
 
         def eval_batches():
             return valid_store.iterate(micro, batcher.seq_len)
+
+        if profile_dir:
+            # first-class step tracing (the reference has none, SURVEY.md 5.1)
+            with jax.profiler.trace(profile_dir):
+                for i, b in enumerate(train_batches(0)):
+                    trainer.state, _, _ = trainer._train_step(
+                        trainer.state, trainer.ctx.shard_batch(b), trainer.base_rng)
+                    if i >= 4:
+                        break
+            logger.info("profiler trace written to %s", profile_dir)
 
         result = trainer.fit(train_batches, eval_batches)
 

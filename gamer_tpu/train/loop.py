@@ -43,6 +43,11 @@ class TrainLoopConfig(Config):
     metric_mode: str = "min"  # "min" (valid loss) or "max" (ranking metric)
     seed: int = 42
     save_checkpoints: bool = True
+    # periodic per-epoch snapshots, keeping the newest N
+    # (ref HF Trainer save_total_limit=2, train_SMB_decoder.py:413-418)
+    snapshot_every_epochs: int = 0  # 0 = off
+    snapshot_limit: int = 2
+    resume: bool = False  # restore the full train state from "last_state"
 
 
 class Trainer:
@@ -124,8 +129,18 @@ class Trainer:
         better = (lambda a, b: a < b) if cfg.metric_mode == "min" else (lambda a, b: a > b)
         evals_since_best = 0
         history = []
+        start_epoch = 0
+        if cfg.resume and self.ckpt and self.ckpt.exists("last_state"):
+            state_np = jax.tree_util.tree_map(np.asarray, self.state)
+            restored = self.ckpt.restore("last_state", template=state_np)
+            self.state = jax.tree_util.tree_map(jnp.asarray, restored)
+            meta = self.ckpt.metadata("last_state") or {}
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best = float(meta.get("best", best))
+            logger.info("resumed from epoch %d (step %d, best %.4f)",
+                        start_epoch, int(self.state.step), best)
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             n_steps, loss_sum = 0, 0.0
             for batch in train_batches(epoch):
@@ -166,12 +181,35 @@ class Trainer:
                         if cfg.patience > 0 and evals_since_best >= cfg.patience:
                             logger.info("early stopping at epoch %d", epoch)
                             break
+            if self.ckpt:
+                if cfg.snapshot_every_epochs > 0 and (epoch + 1) % cfg.snapshot_every_epochs == 0:
+                    self.ckpt.save(f"epoch_{epoch}", self.state.params, {"epoch": epoch})
+                    self._prune_snapshots(cfg.snapshot_limit)
+                self.ckpt.save("last_state", self.state,
+                               {"epoch": epoch, "best": float(best),
+                                "step": int(self.state.step)})
         if self.ckpt:
             self.ckpt.save("last", self.state.params, {"step": int(self.state.step)})
         return {"best_metric": float(best), "history": history,
                 "steps": int(self.state.step)}
 
     # --------------------------------------------------------------- restore
+
+    def _prune_snapshots(self, limit: int) -> None:
+        import os
+        import re
+        import shutil
+
+        snaps = []
+        for name in os.listdir(self.ckpt.directory):
+            m = re.fullmatch(r"epoch_(\d+)", name)
+            if m:
+                snaps.append((int(m.group(1)), name))
+        for _, name in sorted(snaps)[:-limit] if limit > 0 else []:
+            shutil.rmtree(os.path.join(self.ckpt.directory, name), ignore_errors=True)
+            meta = os.path.join(self.ckpt.directory, name + ".meta.json")
+            if os.path.exists(meta):
+                os.remove(meta)
 
     def best_params(self) -> Any:
         if self.ckpt and self.ckpt.exists("best"):

@@ -85,3 +85,21 @@ def test_tiger_on_smb_pipeline(e2e_dir, tmp_path):
         "--results_file", tmp_path / "tiger_smb.json"])
     for m, v in ev["merged"].items():
         assert 0.0 <= v <= 1.0
+
+
+def test_resume_and_snapshots(e2e_dir, tmp_path):
+    out = tmp_path / "resume_ckpt"
+    args = ["train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+            "--tasks", "smb_explicit_decoder", "--backbone", "Qwen3",
+            "--max_his_len", 6, "--batch_size", 8, "--n_layers", 1,
+            "--hidden_size", 16, "--model_max_length", 128,
+            "--output_dir", out, "--save_epochs", 1]
+    r1 = run_cli(args + ["--epochs", 2])
+    assert (out / "last_state").exists()
+    import os
+    snaps = [d for d in os.listdir(out) if d.startswith("epoch_") and not d.endswith(".json")]
+    assert len(snaps) == 2  # limit
+    r2 = run_cli(args + ["--epochs", 4, "--resume_from_checkpoint"])
+    # resumed training continued past the first run's step count
+    assert r2["steps"] > r1["steps"]
+    assert len(r2["history"]) == 2  # only epochs 2..3 ran
