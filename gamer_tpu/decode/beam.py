@@ -376,3 +376,29 @@ def constrained_beam_search_encdec(
         caches = [jax.tree_util.tree_map(lambda x: x[flat_parent], c) for c in caches]
 
     return gen_codes, scores
+
+
+def make_beam_search_fn(model, trie: LeveledTrie,
+                        search_cfg: BeamSearchConfig = BeamSearchConfig()):
+    """Jit the WHOLE search once per (model, trie, config): one device dispatch
+    per batch instead of per-op eager execution. `behavior_emb_id` stays a
+    traced argument so per-behavior eval reuses the same executable."""
+    import jax as _jax
+
+    def fn(params, batch, behavior_emb_id):
+        return constrained_beam_search(model, params, batch, trie,
+                                       behavior_emb_id, search_cfg)
+
+    return _jax.jit(fn)
+
+
+def make_beam_search_encdec_fn(model, trie: LeveledTrie, decoder_prefix_len: int,
+                               search_cfg: BeamSearchConfig = BeamSearchConfig()):
+    """Jitted enc-dec search; the decoder prefix is traced (per-behavior token)."""
+    import jax as _jax
+
+    def fn(params, batch, decoder_prefix):
+        return constrained_beam_search_encdec(model, params, batch, trie,
+                                              decoder_prefix, search_cfg)
+
+    return _jax.jit(fn)

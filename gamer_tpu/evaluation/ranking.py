@@ -17,7 +17,6 @@ Discriminative full-sort eval uses `rank_metrics` on target ranks
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import numpy as np

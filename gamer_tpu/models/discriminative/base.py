@@ -12,8 +12,6 @@ is the padding index; `seq_len` counts real events.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from gamer_tpu.models.discriminative.base import DIS_MODELS, DisModelConfig, normal_init
 from gamer_tpu.modules.losses import sequence_ce_loss
 from gamer_tpu.modules.transformer import MultiHeadAttention, _act
-from gamer_tpu.ops.masks import NEG_INF
 
 SW_BEFORE, SW_FOLLOW = 10, 6  # sliding-window readout (ref model.py:224-226)
 

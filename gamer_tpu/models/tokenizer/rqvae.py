@@ -21,7 +21,7 @@ for row-sharding on the mesh model axis). Semantics preserved:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ float mask) and the DotProductPredictionHead (ref :186-215).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

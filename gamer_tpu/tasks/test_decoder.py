@@ -19,7 +19,7 @@ from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.batching import DecodeBatcher, EncDecBatcher
 from gamer_tpu.data.contract import DataFiles
 from gamer_tpu.data.seq import SeqCorpus, SeqExampleBuilder
-from gamer_tpu.data.vocab import PAD_ID, SemanticVocab
+from gamer_tpu.data.vocab import SemanticVocab
 from gamer_tpu.decode.beam import (BeamSearchConfig, constrained_beam_search,
                                    constrained_beam_search_encdec)
 from gamer_tpu.decode.trie import LeveledTrie
@@ -55,6 +55,8 @@ def run_seq_eval(model, cfg, params, vocab, family, corpus, examples,
     + count (caller normalizes)."""
     import jax.numpy as jnp
 
+    from gamer_tpu.decode.beam import make_beam_search_encdec_fn, make_beam_search_fn
+
     if trie is None:
         item_rows = corpus.item_codes[~corpus.collision_rows]
         trie = LeveledTrie.from_token_rows(item_rows, vocab)
@@ -69,8 +71,10 @@ def run_seq_eval(model, cfg, params, vocab, family, corpus, examples,
         if behavior_token is not None:
             prefix = prefix + [behavior_token]
         prefix = np.asarray(prefix, np.int32)
+        search_fn = make_beam_search_encdec_fn(model, trie, len(prefix), search)
     else:
         batcher = DecodeBatcher.for_examples(examples, extra=1 if behavior_token is not None else 0)
+        search_fn = make_beam_search_fn(model, trie, search)
 
     for s in range(0, len(examples), batch_size):
         chunk = examples[s:s + batch_size]
@@ -80,14 +84,12 @@ def run_seq_eval(model, cfg, params, vocab, family, corpus, examples,
         if family == "encdec":
             batch = batcher.collate(chunk)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            codes, _ = constrained_beam_search_encdec(
-                model, params, batch, trie, prefix, search)
+            codes, _ = search_fn(params, batch, prefix)
         else:
             batch = batcher.collate(chunk, append_behavior_token=behavior_token,
                                     append_action_level=action_level)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            codes, _ = constrained_beam_search(
-                model, params, batch, trie, behavior_emb_id, search)
+            codes, _ = search_fn(params, batch, behavior_emb_id)
         codes = np.asarray(codes)[:n_real]
         chunk = chunk[:n_real]
         target_codes = []

@@ -24,7 +24,6 @@ from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.batching import DecodeBatcher
 from gamer_tpu.data.contract import DataFiles
 from gamer_tpu.data.seq import EvaluationType, MBExampleBuilder, SeqCorpus, filter_mb_examples
-from gamer_tpu.data.smb import TokenLayout
 from gamer_tpu.decode.beam import BeamSearchConfig, constrained_beam_search
 from gamer_tpu.decode.trie import LeveledTrie
 from gamer_tpu.evaluation.ranking import hits_matrix, metrics_from_hits
@@ -118,7 +117,10 @@ class TestMBDecoder(Task):
                            cache_dtype):
         import jax.numpy as jnp
 
+        from gamer_tpu.decode.beam import make_beam_search_fn
+
         search = BeamSearchConfig(num_beams=num_beams, cache_dtype=cache_dtype)
+        search_fn = make_beam_search_fn(model, trie, search)
         batcher = DecodeBatcher.for_examples(examples, extra=1)
         totals = {m: 0.0 for m in metric_list}
         count = 0
@@ -134,8 +136,7 @@ class TestMBDecoder(Task):
             batch = batcher.collate(chunk, append_behavior_token=btoks,
                                     append_action_level=levels)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            codes, _ = constrained_beam_search(
-                model, params, batch, trie, jnp.asarray(behs + 1), search)
+            codes, _ = search_fn(params, batch, jnp.asarray(behs + 1))
             codes = np.asarray(codes)[:n_real]
             chunk = chunk[:n_real]
             target_codes = [vocab.decode_tokens(_strip_behavior(ex.targets, corpus, vocab))
@@ -164,7 +165,10 @@ class TestMBDecoder(Task):
         bases = [vocab.behavior_base] + [vocab.code_token(l, 0) for l in range(L)]
         trie = LeveledTrie.build(combined, sizes, bases)
 
+        from gamer_tpu.decode.beam import make_beam_search_fn
+
         search = BeamSearchConfig(num_beams=num_beams, cache_dtype=cache_dtype)
+        search_fn = make_beam_search_fn(model, trie, search)
         batcher = DecodeBatcher.for_examples(examples, extra=0)
         totals = {m: 0.0 for m in metric_list}
         count = 0
@@ -175,8 +179,7 @@ class TestMBDecoder(Task):
                 chunk = list(chunk) + [chunk[0]] * (batch_size - n_real)
             batch = batcher.collate(chunk)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            codes, _ = constrained_beam_search(
-                model, params, batch, trie, None, search)
+            codes, _ = search_fn(params, batch, None)
             codes = np.asarray(codes)[:n_real]
             chunk = chunk[:n_real]
             # targets include the behavior as level 0

@@ -19,13 +19,11 @@ import os
 import jax
 import numpy as np
 
-from gamer_tpu.core.checkpoint import CheckpointManager
 from gamer_tpu.core.logging import get_logger
 from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.batching import DecodeBatcher, DecoderBatcher, iterate_batches
 from gamer_tpu.data.loading_smb import load_smb_test
-from gamer_tpu.data.smb import SMBExample, filter_examples_by_behavior
-from gamer_tpu.data.vocab import SemanticVocab
+from gamer_tpu.data.smb import filter_examples_by_behavior
 from gamer_tpu.decode.beam import BeamSearchConfig, constrained_beam_search
 from gamer_tpu.decode.trie import LeveledTrie
 from gamer_tpu.evaluation.ranking import hits_matrix, merge_behavior_metrics, metrics_from_hits
@@ -84,6 +82,21 @@ class TestSMBDecoder(Task):
         trie = LeveledTrie.from_token_rows(item_rows, vocab)
         L = trie.num_levels
 
+        # one jitted search + one batcher shared by every behavior so the
+        # executable compiles once (per-behavior ids/tokens are traced args)
+        from gamer_tpu.data.batching import EncDecBatcher
+        from gamer_tpu.data.vocab import EOS_ID
+        from gamer_tpu.decode.beam import (make_beam_search_encdec_fn,
+                                           make_beam_search_fn)
+
+        search_cfg = BeamSearchConfig(num_beams=num_beams, cache_dtype=cache_dtype)
+        if self.family == "encdec":
+            self._batcher = EncDecBatcher.for_examples(data.test, eos_id=EOS_ID)
+            self._search = make_beam_search_encdec_fn(model, trie, 2, search_cfg)
+        else:
+            self._batcher = DecodeBatcher.for_examples(data.test, extra=1)
+            self._search = make_beam_search_fn(model, trie, search_cfg)
+
         collision = self._collision_report(corpus, data.test)
         per_behavior: dict[str, dict] = {}
         counts: dict[str, int] = {}
@@ -141,31 +154,26 @@ class TestSMBDecoder(Task):
         level = int(corpus.behavior_levels[b_idx])
         beh_emb_id = b_idx + 1
         L = trie.num_levels
+        batcher = self._batcher  # shared across behaviors: one compile
         if family == "encdec":
-            batcher = EncDecBatcher.for_examples(examples, eos_id=EOS_ID)
             # decoder seeded with [start, behavior_token] (ref :188-195)
             prefix = np.asarray([cfg.decoder_start_token_id, btok], np.int32)
-        else:
-            batcher = DecodeBatcher.for_examples(examples, extra=1)
 
         totals: dict[str, float] = {m: 0.0 for m in metric_list}
         count = 0
         dup_sum, dup_n = 0.0, 0
 
-        search = BeamSearchConfig(num_beams=num_beams, cache_dtype=cache_dtype)
         for batch_ex in _chunks(examples, batch_size):
             n_real = len(batch_ex)
             if n_real < batch_size:  # pad to static shape for jit
                 batch_ex = list(batch_ex) + [batch_ex[0]] * (batch_size - n_real)
             if family == "encdec":
                 batch = batcher.collate(batch_ex)
-                codes, scores = constrained_beam_search_encdec(
-                    model, params, _to_jnp(batch), trie, prefix, search)
+                codes, scores = self._search(params, _to_jnp(batch), prefix)
             else:
                 batch = batcher.collate(batch_ex, append_behavior_token=btok,
                                         append_action_level=level)
-                codes, scores = constrained_beam_search(
-                    model, params, _to_jnp(batch), trie, beh_emb_id, search)
+                codes, scores = self._search(params, _to_jnp(batch), beh_emb_id)
             codes = np.asarray(codes)[:n_real]  # [B, K, L] 0-based level codes
             batch_ex = batch_ex[:n_real]
             # targets: strip the behavior token column -> per-level codes
@@ -212,7 +220,6 @@ class TestSMBDecoder(Task):
         if family == "encdec":
             from gamer_tpu.data.batching import EncDecBatcher
             from gamer_tpu.data.vocab import EOS_ID
-            from gamer_tpu.models.generative.encdec_utils import encdec_loss_fn
 
             from gamer_tpu.models.generative.encdec_utils import prepare_encdec_inputs
             from gamer_tpu.modules.losses import IGNORE_LABEL

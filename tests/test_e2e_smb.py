@@ -103,3 +103,18 @@ def test_resume_and_snapshots(e2e_dir, tmp_path):
     # resumed training continued past the first run's step count
     assert r2["steps"] > r1["steps"]
     assert len(r2["history"]) == 2  # only epochs 2..3 ran
+
+
+def test_augment_eval_and_drop_gt_tasks(e2e_dir):
+    """smb_augment_<ratio> (dropped-history view for the target behavior) and
+    smb_drop_gt (ground-truth leakage eval) test-task variants."""
+    for task in ["smb_augment_0.5", "smb_drop_gt", "smb_explicit_valid",
+                 "smb_valid_augment_0.5"]:
+        ev = run_cli([
+            "test_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+            "--max_his_len", 6, "--test_task", task,
+            "--ckpt_path", e2e_dir / "ckpt", "--test_batch_size", 8,
+            "--num_beams", 4, "--results_file", e2e_dir / f"{task}.json"])
+        assert ev["merged"], task
+        for m, v in ev["merged"].items():
+            assert 0.0 <= v <= 1.0, (task, m, v)
