@@ -82,7 +82,12 @@ class TrainDecoder(Task):
     def run(self, *, dataset, data_path, index_file, max_his_len, backbone,
             base_model, output_dir, seed, inter_type, epochs, batch_size,
             learning_rate, weight_decay, warmup_ratio, temperature, patience,
-            model_max_length, n_layers=0, hidden_size=0, **_):
+            model_max_length, tasks="seqrec", n_layers=0, hidden_size=0, **_):
+        # task-string parity: "seqrec" | "seqrec_<type>" selects the
+        # interaction file variant (ref loading.py:17-41)
+        t = (tasks or "seqrec").split(",")[0].lower()
+        if t.startswith("seqrec_") and inter_type is None:
+            inter_type = t[len("seqrec_"):]
         corpus = SeqCorpus(DataFiles(data_path, dataset), index_file,
                            multi_behavior=False, inter_type=inter_type)
         builder = SeqExampleBuilder(corpus, max_his_len)
