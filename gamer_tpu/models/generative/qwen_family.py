@@ -248,12 +248,18 @@ def prepare_train_inputs(cfg: QwenFamilyConfig, batch: dict) -> dict:
     rel = router_ops.rel_positions(attn)
     block_ids = jnp.where(rel >= 0, rel // cfg.num_positions, -1)
 
+    import jax
+
     from gamer_tpu.modules.layers import pallas_attention_ok
 
     streams = None
     self_allowed = cross_allowed = None
     zeros = jnp.zeros_like(attn)
-    if cfg.attention_impl.startswith("pallas") and pallas_attention_ok(S):
+    # compiled pallas needs the TPU backend (a TPU-trained checkpoint may be
+    # evaluated on CPU); interpret mode works anywhere
+    impl_ok = (cfg.attention_impl == "pallas_interpret"
+               or (cfg.attention_impl == "pallas" and jax.default_backend() == "tpu"))
+    if impl_ok and pallas_attention_ok(S):
         # masks are evaluated inside the fused kernel from these streams
         streams = dict(attention_mask=attn,
                        session_ids=batch.get("session_ids", zeros),

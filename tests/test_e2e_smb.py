@@ -118,3 +118,36 @@ def test_augment_eval_and_drop_gt_tasks(e2e_dir):
         assert ev["merged"], task
         for m, v in ev["merged"].items():
             assert 0.0 <= v <= 1.0, (task, m, v)
+
+
+@pytest.mark.parametrize("backbone", ["Qwen3Session", "Qwen3MoeAction", "Qwen3SessionMulti"])
+def test_other_backbones_train_and_decode(e2e_dir, tmp_path, backbone):
+    """Session rope / action-indexed experts / session_multi cross mask through
+    the full train + constrained-decode pipeline."""
+    out = tmp_path / backbone
+    res = run_cli([
+        "train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--tasks", "smb_explicit_decoder", "--backbone", backbone,
+        "--max_his_len", 6, "--epochs", 1, "--batch_size", 8,
+        "--output_dir", out, "--n_layers", 1, "--hidden_size", 16,
+        "--model_max_length", 128])
+    assert np.isfinite(res["best_metric"])
+    ev = run_cli([
+        "test_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--max_his_len", 6, "--test_task", "smb_explicit",
+        "--ckpt_path", out, "--test_batch_size", 8, "--num_beams", 4,
+        "--results_file", tmp_path / f"{backbone}.json"])
+    for m, v in ev["merged"].items():
+        assert 0.0 <= v <= 1.0, (backbone, m, v)
+
+
+def test_behind_layout_pipeline(e2e_dir, tmp_path):
+    """smb_explicit_back: behavior token AFTER the item tokens."""
+    out = tmp_path / "behind"
+    res = run_cli([
+        "train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--tasks", "smb_explicit_back", "--backbone", "Qwen3",
+        "--max_his_len", 6, "--epochs", 1, "--batch_size", 8,
+        "--output_dir", out, "--n_layers", 1, "--hidden_size", 16,
+        "--model_max_length", 128])
+    assert np.isfinite(res["best_metric"])
