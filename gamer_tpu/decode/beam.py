@@ -279,7 +279,9 @@ def constrained_beam_search_encdec(
     L = trie.num_levels
     K = search_cfg.num_beams
     B = batch["input_ids"].shape[0]
-    P0 = len(decoder_prefix)
+    decoder_prefix = jnp.asarray(decoder_prefix, jnp.int32)
+    per_row_prefix = decoder_prefix.ndim == 2  # [B, P0] (per-example behavior)
+    P0 = decoder_prefix.shape[-1]
     cache_len = P0 + L
     cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
 
@@ -302,14 +304,22 @@ def constrained_beam_search_encdec(
     caches = [{"self": {"k": jnp.zeros((B, cache_len, cfg.num_heads, cfg.d_kv), cache_dtype),
                         "v": jnp.zeros((B, cache_len, cfg.num_heads, cfg.d_kv), cache_dtype)}}
               for _ in range(cfg.num_decoder_layers)]
-    prefix = jnp.tile(jnp.asarray(decoder_prefix, jnp.int32)[None], (B, 1))
+    prefix = (decoder_prefix if per_row_prefix
+              else jnp.tile(decoder_prefix[None], (B, 1)))
     pos0 = jnp.arange(P0)
     pidx, bidx = dec_routing(pos0, prefix)
+    # encoder routing (the PBATransformer encoder is position-routed sparse)
+    enc_rel = router_ops.rel_positions(batch["attention_mask"])
+    enc_pos, enc_beh, _ = router_ops.route_tokens(
+        batch["input_ids"], enc_rel, cfg.num_positions, cfg.behavior_base,
+        cfg.num_behavior)
     out = model.apply(
         params,
         encoder_input_ids=batch["input_ids"],
         encoder_attention_mask=batch["attention_mask"],
         decoder_input_ids=prefix,
+        enc_position_index=enc_pos,
+        enc_behavior_index=enc_beh,
         dec_position_index=jnp.tile(pidx[None], (B, 1)),
         dec_behavior_index=jnp.tile(bidx[None], (B, 1)),
         caches=caches, cache_index=jnp.int32(0), dec_positions=pos0,

@@ -117,11 +117,18 @@ class TestMBDecoder(Task):
                            cache_dtype):
         import jax.numpy as jnp
 
-        from gamer_tpu.decode.beam import make_beam_search_fn
+        from gamer_tpu.data.batching import EncDecBatcher
+        from gamer_tpu.data.vocab import EOS_ID
+        from gamer_tpu.decode.beam import (make_beam_search_encdec_fn,
+                                           make_beam_search_fn)
 
         search = BeamSearchConfig(num_beams=num_beams, cache_dtype=cache_dtype)
-        search_fn = make_beam_search_fn(model, trie, search)
-        batcher = DecodeBatcher.for_examples(examples, extra=1)
+        if family == "encdec":
+            search_fn = make_beam_search_encdec_fn(model, trie, 2, search)
+            batcher = EncDecBatcher.for_examples(examples, eos_id=EOS_ID)
+        else:
+            search_fn = make_beam_search_fn(model, trie, search)
+            batcher = DecodeBatcher.for_examples(examples, extra=1)
         totals = {m: 0.0 for m in metric_list}
         count = 0
         L = trie.num_levels
@@ -133,10 +140,17 @@ class TestMBDecoder(Task):
             behs = np.array([int(ex.target_behaviors[0]) for ex in chunk])
             btoks = np.array([vocab.behavior_token(corpus.behavior_names[b]) for b in behs])
             levels = corpus.behavior_levels[behs]
-            batch = batcher.collate(chunk, append_behavior_token=btoks,
-                                    append_action_level=levels)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            codes, _ = search_fn(params, batch, jnp.asarray(behs + 1))
+            if family == "encdec":
+                batch = batcher.collate(chunk)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                prefix = np.stack([np.full_like(btoks, cfg.decoder_start_token_id),
+                                   btoks], axis=1)
+                codes, _ = search_fn(params, batch, jnp.asarray(prefix))
+            else:
+                batch = batcher.collate(chunk, append_behavior_token=btoks,
+                                        append_action_level=levels)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                codes, _ = search_fn(params, batch, jnp.asarray(behs + 1))
             codes = np.asarray(codes)[:n_real]
             chunk = chunk[:n_real]
             target_codes = [vocab.decode_tokens(_strip_behavior(ex.targets, corpus, vocab))

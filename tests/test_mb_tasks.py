@@ -72,3 +72,23 @@ def test_mb_train_and_eval_cli(synth_dir, tmp_path):
         for k, v in r.items():
             if k != "eval_type":
                 assert 0.0 <= v <= 1.0
+
+
+def test_pbatransformer_mb_pipeline(synth_dir, tmp_path):
+    """PBATransformer (Switch-MoE enc-dec) through MB train + eval."""
+    from main import main
+
+    res = main(["train_MB_decoder", "--dataset", "Synth", "--data_path", synth_dir,
+                "--tasks", "mb_explicit_decoder", "--backbone", "PBATransformer",
+                "--max_his_len", "6", "--epochs", "1", "--batch_size", "16",
+                "--output_dir", str(tmp_path / "pba"), "--n_layers", "1",
+                "--hidden_size", "32"])
+    assert res["best_metric"] > 0
+    ev = main(["test_MB_decoder", "--dataset", "Synth", "--data_path", synth_dir,
+               "--max_his_len", "6", "--test_task", "mb_explicit",
+               "--ckpt_path", str(tmp_path / "pba"), "--num_beams", "4",
+               "--test_batch_size", "8",
+               "--results_file", str(tmp_path / "pba.json")])
+    # enc-dec runs Target Behavior + Behavior Specific modes
+    types = [r["eval_type"] for r in ev]
+    assert "Target Behavior" in types and "Behavior Specific" in types
