@@ -124,7 +124,9 @@ class TrainSMBDecoder(Task):
         import jax
 
         if attention_impl == "auto":
-            attention_impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
+            # jnp wins the end-to-end A/B at the flagship scale
+            # (docs/benchmarks.md); pallas available explicitly for long-S runs
+            attention_impl = "jnp"
         # enc-dec backbones on SMB data (ref train_SMB_decoder.py:194-240
         # dispatches TIGER/PBATransformer too)
         from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES
