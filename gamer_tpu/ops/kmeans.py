@@ -61,10 +61,12 @@ def _update_centers(x: jnp.ndarray, labels: jnp.ndarray, k: int, old: jnp.ndarra
     return jnp.where(empty[:, None], reseeded, jnp.where(counts[:, None] > 0, centers, old))
 
 
-def kmeans(x: jnp.ndarray, k: int, iters: int = 10, seed: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Plain Lloyd k-means. Returns (centers [K, D], labels [N])."""
-    x = jnp.asarray(x, jnp.float32)
-    centers = _init_centers(x, k, jax.random.PRNGKey(seed))
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_impl(x, k: int, iters: int, key):
+    centers = _init_centers(x, k, key)
 
     def body(_, centers):
         labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1)
@@ -72,6 +74,24 @@ def kmeans(x: jnp.ndarray, k: int, iters: int = 10, seed: int = 0) -> tuple[jnp.
 
     centers = jax.lax.fori_loop(0, iters, body, centers)
     labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1)
+    return centers, labels
+
+
+def kmeans(x: jnp.ndarray, k: int, iters: int = 10, seed: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain Lloyd k-means (jitted). Returns (centers [K, D], labels [N])."""
+    return _kmeans_impl(jnp.asarray(x, jnp.float32), k, iters, jax.random.PRNGKey(seed))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "epsilon", "sk_iters"))
+def _balanced_impl(x, k: int, iters: int, key, epsilon: float, sk_iters: int):
+    centers = _init_centers(x, k, key)
+
+    def body(_, centers):
+        labels = balanced_assign(_pairwise_sq_dists(x, centers), epsilon, sk_iters)
+        return _update_centers(x, labels, k, centers)
+
+    centers = jax.lax.fori_loop(0, iters, body, centers)
+    labels = balanced_assign(_pairwise_sq_dists(x, centers), epsilon, sk_iters)
     return centers, labels
 
 
@@ -83,21 +103,13 @@ def balanced_kmeans(
     epsilon: float = 0.03,
     sk_iters: int = 50,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Size-balanced k-means: Sinkhorn assignment each Lloyd step.
+    """Size-balanced k-means: Sinkhorn assignment each Lloyd step (jitted).
 
     Replaces `constrained_km` (ref utils/kmeans.py:5-22). Returns
     (centers [K, D], labels [N]); cluster sizes concentrate near N/K.
     """
-    x = jnp.asarray(x, jnp.float32)
-    centers = _init_centers(x, k, jax.random.PRNGKey(seed))
-
-    def body(_, centers):
-        labels = balanced_assign(_pairwise_sq_dists(x, centers), epsilon, sk_iters)
-        return _update_centers(x, labels, k, centers)
-
-    centers = jax.lax.fori_loop(0, iters, body, centers)
-    labels = balanced_assign(_pairwise_sq_dists(x, centers), epsilon, sk_iters)
-    return centers, labels
+    return _balanced_impl(jnp.asarray(x, jnp.float32), k, iters,
+                          jax.random.PRNGKey(seed), epsilon, sk_iters)
 
 
 def cluster_codebook(codebook: np.ndarray, n_clusters: int = 10, seed: int = 0) -> np.ndarray:
