@@ -70,6 +70,9 @@ class Tokenize(Task):
         g.add_argument("--beta", type=str, default="0.0001")
         g.add_argument("--num_code_list", type=str, default="256,256,256")
         g.add_argument("--cf_emb_file", type=str, default=None)
+        g.add_argument("--reduce", action="store_true",
+                       help="PCA-reduce text embeddings to the CF dim before "
+                            "concatenation (ref tokenize.py:166-169)")
         g.add_argument("--chunk_size", type=int, default=256)
         g.add_argument("--shuffle", action="store_true")
         g.add_argument("--n_items", type=int, default=0,
@@ -78,7 +81,7 @@ class Tokenize(Task):
 
     def run(self, *, dataset, data_path, seed, mode, emb_file, ckpt_path,
             ckpt_tag, epoch, alpha, beta, num_code_list, cf_emb_file,
-            chunk_size, shuffle, n_items, **_):
+            chunk_size, shuffle, n_items, reduce=False, **_):
         files = DataFiles(data_path, dataset)
         self.files = files
         np.random.seed(seed)
@@ -91,7 +94,7 @@ class Tokenize(Task):
         x = load_embeddings(emb_path)
         if mode == "rq_kmeans":
             return self.run_rq_kmeans(files, x, [int(v) for v in num_code_list.split(",")],
-                                      cf_emb_file)
+                                      cf_emb_file, reduce)
         return self.run_rq_vae(files, x, ckpt_path, ckpt_tag, epoch, alpha, beta)
 
     # ---- RQ-VAE ------------------------------------------------------------
@@ -123,12 +126,18 @@ class Tokenize(Task):
 
     # ---- RQ-KMeans (ref :152-207) ------------------------------------------
 
-    def run_rq_kmeans(self, files, x, num_code_list, cf_emb_file):
+    def run_rq_kmeans(self, files, x, num_code_list, cf_emb_file, reduce=False):
         from gamer_tpu.ops.kmeans import kmeans
 
         if cf_emb_file:
             cf = np.load(cf_emb_file).astype(np.float32)
             assert len(cf) == len(x)
+            if reduce:
+                # PCA to the CF width before concatenation (ref :166-169)
+                centered = x - x.mean(axis=0, keepdims=True)
+                _, _, vt = np.linalg.svd(centered, full_matrices=False)
+                x = centered @ vt[: cf.shape[1]].T
+                logger.info("PCA-reduced embeddings to %s", x.shape)
             x = np.concatenate([x, cf], axis=1)
         R = x.astype(np.float32)
         codes = np.zeros((len(x), len(num_code_list)), dtype=np.int64)

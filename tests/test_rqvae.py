@@ -179,3 +179,20 @@ class TestTokenizeTask:
         with open(tok["output_file"]) as f:
             d = json.load(f)
         assert len(d) == 60
+
+
+def test_rq_kmeans_cf_reduce(synth_dir, tmp_path):
+    """rq_kmeans with CF concatenation + PCA reduction."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from main import main
+
+    cf = np.random.default_rng(0).normal(size=(60, 8)).astype(np.float32)
+    cf_path = str(tmp_path / "cf.npy")
+    np.save(cf_path, cf)
+    res = main(["tokenize", "--mode", "rq_kmeans", "--dataset", "Synth",
+                "--data_path", synth_dir, "--num_code_list", "8,8,8",
+                "--cf_emb_file", cf_path, "--reduce",
+                "--emb_file", f"{synth_dir}/Synth/Synth.emb-synthetic-td.npy"])
+    assert res["n_items"] == 60
+    assert "rq-kmeans-cf" in res["output_file"]
