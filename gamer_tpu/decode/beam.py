@@ -249,13 +249,27 @@ def constrained_beam_search(
         ].reshape(B, K)
         beh_bk = gather(beh_bk)
 
-        # reorder caches: flat index = b*K + parent
+        # Reorder caches by parent beam. Prompt positions [0, S) are identical
+        # across beams (tiled from one prefill), so only the generated slice
+        # [S, S+step) moves — S/L x less traffic than gathering whole caches.
+        # Cross caches are never reordered: generated cross rows read prompt
+        # columns only (ops/masks.py decode_cross_row), which are beam-invariant.
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
-        reorder = lambda c: None if c is None else jax.tree_util.tree_map(
-            lambda x: x[flat_parent], c)
+
+        def reorder(c):
+            if c is None:
+                return None
+
+            def move(x):
+                gen = jax.lax.dynamic_slice_in_dim(x, S, step, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    x, gen[flat_parent], S, axis=1)
+
+            return jax.tree_util.tree_map(move, c)
+
         caches = {
             "self": [reorder(c) for c in caches["self"]],
-            "cross": [reorder(c) for c in caches["cross"]],
+            "cross": caches["cross"],
         }
 
     return gen_codes, scores
@@ -382,8 +396,15 @@ def constrained_beam_search_encdec(
         nodes = child_tables[step][
             jnp.maximum(gather(nodes).reshape(B * K), 0), code.reshape(B * K)
         ].reshape(B, K)
+        # decoder-prefix positions [0, P0) are beam-invariant; move only the
+        # generated slice (see the decoder-only variant above)
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
-        caches = [jax.tree_util.tree_map(lambda x: x[flat_parent], c) for c in caches]
+
+        def move(x):
+            gen = jax.lax.dynamic_slice_in_dim(x, P0, step, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(x, gen[flat_parent], P0, axis=1)
+
+        caches = [jax.tree_util.tree_map(move, c) for c in caches]
 
     return gen_codes, scores
 
