@@ -47,13 +47,16 @@ def _tile_beams(tree, num_beams: int):
         lambda x: jnp.repeat(x, num_beams, axis=0), tree)
 
 
-def prepare_prefill(cfg: QwenFamilyConfig, batch: dict, gen_len: int,
+def prepare_prefill(cfg: QwenFamilyConfig, batch: dict,
                     behavior_emb_id: jnp.ndarray | int):
-    """Model inputs for the prompt forward, plus decode-time constants."""
+    """Model inputs for the prompt forward, plus decode-time constants.
+
+    Caches cover the PROMPT only ([B, S]); generated-token KV lives in small
+    per-beam side caches (see `constrained_beam_search`), because decode mask
+    rows are beam-invariant over the prompt (ops/masks.py decode_*_row)."""
     input_ids = batch["input_ids"]
     attn = batch["attention_mask"]
     B, S = input_ids.shape
-    K_total = S + gen_len
     rel = router_ops.rel_positions(attn)
     block_ids = jnp.where(rel >= 0, rel // cfg.num_positions, -1)
 
@@ -69,7 +72,6 @@ def prepare_prefill(cfg: QwenFamilyConfig, batch: dict, gen_len: int,
             cfg.cross_mask_kind, S, attention_mask=attn,
             session_ids=batch.get("session_ids"), actions=batch.get("actions"))
         cross_row = cross_allowed[:, 0, -1, :]  # last prompt token's row [B, S]
-        cross_allowed = _pad_keys(cross_allowed, K_total)
 
     pos_idx, beh_idx, act_idx = router_ops.route_tokens(
         input_ids, rel, cfg.num_positions, cfg.behavior_base, cfg.num_behavior)
@@ -87,24 +89,15 @@ def prepare_prefill(cfg: QwenFamilyConfig, batch: dict, gen_len: int,
     inputs = dict(
         input_ids=input_ids,
         rope_positions=rope_positions,
-        self_allowed=_pad_keys(self_allowed, K_total),
+        self_allowed=self_allowed,
         cross_allowed=cross_allowed,
         position_index=pos_idx,
         behavior_index=beh_idx,
         action_index=act_idx,
         expert_index=expert_index,
     )
-    consts = dict(cross_row=cross_row, max_esid=max_esid,
-                  attn_ext=jnp.concatenate(
-                      [attn, jnp.ones((B, gen_len), attn.dtype)], axis=1))
+    consts = dict(cross_row=cross_row, max_esid=max_esid, prompt_attn=attn)
     return inputs, consts
-
-
-def _pad_keys(allowed: jnp.ndarray, k_total: int) -> jnp.ndarray:
-    pad = k_total - allowed.shape[-1]
-    if pad <= 0:
-        return allowed
-    return jnp.pad(allowed, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
 
 def init_caches(cfg: QwenFamilyConfig, batch_size: int, k_total: int, dtype) -> dict:
@@ -138,15 +131,14 @@ def constrained_beam_search(
     L = trie.num_levels
     K = search_cfg.num_beams
     B, S = batch["input_ids"].shape
-    K_total = S + L
     cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
 
     allowed_tables = [jnp.asarray(a) for a in trie.allowed]
     child_tables = [jnp.asarray(c) for c in trie.child]
 
     derive_behavior = behavior_emb_id is None
-    inputs, consts = prepare_prefill(cfg, batch, L, 0 if derive_behavior else behavior_emb_id)
-    caches = init_caches(cfg, B, K_total, cache_dtype)
+    inputs, consts = prepare_prefill(cfg, batch, 0 if derive_behavior else behavior_emb_id)
+    caches = init_caches(cfg, B, S, cache_dtype)
     out = model.apply(params, **inputs, caches=caches, cache_index=jnp.int32(0),
                       logits_last_only=True, route_mode="onehot")
     caches = out["caches"]
@@ -166,15 +158,24 @@ def constrained_beam_search(
     nodes = child_tables[0][0, codes0]  # [B, K]
     gen_codes = codes0[:, :, None]  # [B, K, 1]
 
-    # beams share prompt caches -> tile
+    # Prompt KV stays [B, S] and is SHARED across beams; only generated-token
+    # KV (at most L-1 positions ever attended) is per-beam. num_beams x less
+    # decode HBM traffic than tiling the whole cache.
+    Tg = max(L - 1, 1)
+    gen_shape = (B * K, Tg, cfg.num_key_value_heads, cfg.head_dim)
     caches = {
-        "self": [_tile_beams(c, K) for c in caches["self"]],
-        "cross": [None if c is None else _tile_beams(c, K) for c in caches["cross"]],
+        "self": [dict(k_prompt=c["k"], v_prompt=c["v"],
+                      k=jnp.zeros(gen_shape, cache_dtype),
+                      v=jnp.zeros(gen_shape, cache_dtype))
+                 for c in caches["self"]],
+        "cross": [None if c is None else dict(k_prompt=c["k"], v_prompt=c["v"])
+                  for c in caches["cross"]],
     }
-    attn_ext = jnp.repeat(consts["attn_ext"], K, axis=0)  # [B*K, K_total]
-    cross_row_t = None
+    # beam-invariant decode mask rows (see ops/masks.py decode_*_row)
+    prompt_self_row = (consts["prompt_attn"] == 1)[:, None, None, :]  # [B,1,1,S]
+    cross_row = None
     if consts["cross_row"] is not None:
-        cross_row_t = jnp.repeat(consts["cross_row"], K, axis=0)
+        cross_row = consts["cross_row"][:, None, None, :]
     max_esid_t = None
     if consts["max_esid"] is not None:
         max_esid_t = jnp.repeat(consts["max_esid"], K, axis=0)
@@ -191,19 +192,13 @@ def constrained_beam_search(
         # token processed now = code chosen at level step-1
         prev_codes = gen_codes[:, :, step - 1].reshape(B * K)
         tok = (prev_codes + trie.level_token_base[step - 1]).astype(jnp.int32)[:, None]
-        cache_pos = S + step - 1  # absolute write position in the cache
-        step_idx = jnp.full((B * K,), cache_pos, jnp.int32)
-        self_row = mask_ops.decode_self_row(K_total, step_idx, attn_ext)
-        cross_row = None
-        if cross_row_t is not None:
-            cross_row = mask_ops.decode_cross_row(cross_row_t, K_total, S)
         # relative position of this token = prompt_len + step - 1
         rel_g = prompt_len_t + step - 1
         pos_index = ((rel_g % cfg.num_positions) + 1)[:, None]
         if cfg.rope_on_extended_session:
             rope_pos = (max_esid_t + step)[:, None]
         else:
-            rope_pos = jnp.full((B * K, 1), cache_pos, jnp.int32)
+            rope_pos = jnp.full((B * K, 1), S + step - 1, jnp.int32)
         beh = beh_bk.reshape(B * K, 1)
         expert_index = None
         if cfg.moe_action:
@@ -213,7 +208,7 @@ def constrained_beam_search(
             params,
             input_ids=tok,
             rope_positions=rope_pos,
-            self_allowed=self_row,
+            self_allowed=prompt_self_row,
             cross_allowed=cross_row,
             position_index=pos_index,
             behavior_index=beh,
@@ -221,7 +216,7 @@ def constrained_beam_search(
             expert_index=expert_index,
             route_mode="onehot",
             caches=caches,
-            cache_index=jnp.int32(cache_pos),
+            cache_index=step - 1,  # static gen-cache write index
         )
         caches = out["caches"]
         logits = out["logits"][:, 0, :]  # [B*K, V]
@@ -249,26 +244,13 @@ def constrained_beam_search(
         ].reshape(B, K)
         beh_bk = gather(beh_bk)
 
-        # Reorder caches by parent beam. Prompt positions [0, S) are identical
-        # across beams (tiled from one prefill), so only the generated slice
-        # [S, S+step) moves — S/L x less traffic than gathering whole caches.
-        # Cross caches are never reordered: generated cross rows read prompt
-        # columns only (ops/masks.py decode_cross_row), which are beam-invariant.
+        # Reorder per-beam generated KV by parent beam. The shared prompt KV
+        # never moves; cross caches hold no per-beam state at all (generated
+        # cross rows read prompt columns only, ops/masks.py decode_cross_row).
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
-
-        def reorder(c):
-            if c is None:
-                return None
-
-            def move(x):
-                gen = jax.lax.dynamic_slice_in_dim(x, S, step, axis=1)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    x, gen[flat_parent], S, axis=1)
-
-            return jax.tree_util.tree_map(move, c)
-
         caches = {
-            "self": [reorder(c) for c in caches["self"]],
+            "self": [{**c, "k": c["k"][flat_parent], "v": c["v"][flat_parent]}
+                     for c in caches["self"]],
             "cross": caches["cross"],
         }
 
@@ -337,9 +319,11 @@ def constrained_beam_search_encdec(
         dec_position_index=jnp.tile(pidx[None], (B, 1)),
         dec_behavior_index=jnp.tile(bidx[None], (B, 1)),
         caches=caches, cache_index=jnp.int32(0), dec_positions=pos0,
-        logits_last_only=True)
-    caches = out["caches"]
-    encoder_hidden = out["encoder_hidden"]
+        logits_last_only=True, emit_cross_kv=True)
+    # cross k/v of the encoder states are projected once here and stay
+    # beam-SHARED [B, Senc]; only the (tiny) decoder self cache is per-beam
+    cross_kv = [c["cross"] for c in out["caches"]]
+    caches = [{"self": c["self"]} for c in out["caches"]]
     logits0 = out["logits"][:, 0, :]
 
     base0, size0 = trie.level_token_base[0], trie.level_sizes[0]
@@ -356,8 +340,6 @@ def constrained_beam_search_encdec(
     gen_codes = codes0[:, :, None]
 
     caches = [jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0), c) for c in caches]
-    encoder_hidden_t = jnp.repeat(encoder_hidden, K, axis=0)
-    enc_mask_t = jnp.repeat(batch["attention_mask"], K, axis=0)
 
     for step in range(1, L):
         prev = gen_codes[:, :, step - 1].reshape(B * K)
@@ -366,8 +348,8 @@ def constrained_beam_search_encdec(
         pidx, bidx = dec_routing(jnp.array([dpos]), tok)
         out = model.apply(
             params,
-            encoder_hidden=encoder_hidden_t,
-            encoder_attention_mask=enc_mask_t,
+            cross_kv=cross_kv,
+            encoder_attention_mask=batch["attention_mask"],
             decoder_input_ids=tok,
             dec_position_index=jnp.tile(pidx[None], (B * K, 1)),
             dec_behavior_index=jnp.tile(bidx[None], (B * K, 1)),

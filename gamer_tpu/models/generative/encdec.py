@@ -101,14 +101,34 @@ class T5Attention(nn.Module):
         k_positions: Optional[jnp.ndarray] = None,
         kv_cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        shared_kv: Optional[dict] = None,  # beam-shared projected k/v [B, Sk, H, dk]
+        emit_kv: bool = False,  # also return projected k/v (to build shared_kv)
     ):
         cfg = self.cfg
         H, dk = cfg.num_heads, cfg.d_kv
         inner = H * dk
         dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=cfg.jax_dtype, name=name)
-        src = x if kv is None else kv
         b, sq, _ = x.shape
         q = dense(inner, "q")(x).reshape(b, sq, H, dk)
+
+        if shared_kv is not None:
+            # Beam-decode cross-attention: encoder k/v were projected ONCE at
+            # prefill and stay [B, Sk] — fold the beam axis out of the query
+            # instead of tiling encoder state (T5 has no softmax scale).
+            B = shared_kv["k"].shape[0]
+            K_beams = b // B
+            qb = q.reshape(B, K_beams, H, dk)  # sq == 1
+            scores = jnp.einsum("bkhd,bshd->bkhs", qb, shared_kv["k"],
+                                preferred_element_type=jnp.float32)
+            if allowed is not None:  # [B, 1, 1, Sk] beam-invariant
+                scores = scores + jnp.where(allowed[:, 0], 0.0, NEG_INF)[:, None]
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bkhs,bshd->bkhd", probs.astype(shared_kv["v"].dtype),
+                             shared_kv["v"])
+            out = dense(cfg.d_model, "o")(out.reshape(b, sq, inner))
+            return out, pos_bias, None
+
+        src = x if kv is None else kv
         k = dense(inner, "k")(src).reshape(b, src.shape[1], H, dk)
         v = dense(inner, "v")(src).reshape(b, src.shape[1], H, dk)
 
@@ -142,6 +162,8 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         out = dense(cfg.d_model, "o")(out.reshape(b, sq, inner))
+        if emit_kv:
+            new_cache = {"k": k, "v": v}
         return out, pos_bias, new_cache
 
 
@@ -177,6 +199,8 @@ class EncDecModel(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         dec_positions: Optional[jnp.ndarray] = None,  # [Sd] absolute positions (decode)
         logits_last_only: bool = False,
+        cross_kv: Optional[list] = None,  # per-layer beam-shared cross k/v (decode)
+        emit_cross_kv: bool = False,  # prefill: return projected cross k/v per layer
     ) -> dict:
         cfg = self.cfg
         embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.jax_dtype,
@@ -184,7 +208,7 @@ class EncDecModel(nn.Module):
         drop = lambda y: nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(y)
 
         # ---------------- encoder ----------------
-        if encoder_hidden is None:
+        if encoder_hidden is None and cross_kv is None:
             assert encoder_input_ids is not None
             h = drop(embed(encoder_input_ids))
             enc_allowed = None
@@ -244,9 +268,11 @@ class EncDecModel(nn.Module):
             h = r + drop(a)
             r = h
             hn = RMSNorm(cfg.layer_norm_epsilon, name=f"decoder_{i}/ln2")(h)
-            a, _, _ = T5Attention(cfg, has_rel_bias=False,
-                                  name=f"decoder_{i}/cross_attn")(
-                hn, kv=encoder_hidden, allowed=cross_allowed)
+            a, _, ckv = T5Attention(cfg, has_rel_bias=False,
+                                    name=f"decoder_{i}/cross_attn")(
+                hn, kv=encoder_hidden, allowed=cross_allowed,
+                shared_kv=None if cross_kv is None else cross_kv[i],
+                emit_kv=emit_cross_kv)
             h = r + drop(a)
             r = h
             hn = RMSNorm(cfg.layer_norm_epsilon, name=f"decoder_{i}/ln3")(h)
@@ -256,7 +282,10 @@ class EncDecModel(nn.Module):
                 deterministic=deterministic)
             h = r + drop(m)
             if new_caches is not None:
-                new_caches.append({"self": self_cache})
+                entry = {"self": self_cache}
+                if emit_cross_kv:
+                    entry["cross"] = ckv
+                new_caches.append(entry)
         h = RMSNorm(cfg.layer_norm_epsilon, name="decoder_norm")(h)
         h = drop(h)
         if logits_last_only:

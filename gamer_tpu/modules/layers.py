@@ -70,6 +70,55 @@ def attend(
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
+def attend_shared_prompt(
+    q: jnp.ndarray,  # [B*K, 1, H, D] one decode token per beam
+    kp: jnp.ndarray,  # [B, S, Hkv, D] prompt keys, SHARED across beams
+    vp: jnp.ndarray,  # [B, S, Hkv, D]
+    kg: Optional[jnp.ndarray],  # [B*K, T, Hkv, D] generated keys (T static), or None
+    vg: Optional[jnp.ndarray],
+    prompt_allowed: jnp.ndarray,  # [B, S] bool (beam-invariant decode row)
+    scale: float,
+) -> jnp.ndarray:
+    """Decode-step attention with a beam-shared prompt KV cache.
+
+    Beam-search decode rows are beam-invariant over the prompt (ops/masks.py:
+    self rows = padding mask, cross rows = frozen last-prompt row), so the
+    prompt KV never needs tiling to [B*K]: scores against it are computed once
+    per example with the beam axis folded into the query. Generated keys (<= L
+    per beam) stay per-beam. Cuts decode HBM reads of prompt KV by num_beams x
+    versus the tiled-cache layout (ref HF generate tiles everything,
+    transformers generation/utils.py _expand_inputs_for_generation).
+    All generated columns are allowed (causal is enforced by the caller passing
+    only the first T written positions).
+    """
+    BK, _, H, D = q.shape
+    B, S, Hkv, _ = kp.shape
+    K = BK // B
+    G = H // Hkv
+    qb = q.reshape(B, K, Hkv, G, D)
+    sp = jnp.einsum("bkhgd,bshd->bkhgs", qb, kp,
+                    preferred_element_type=jnp.float32) * scale
+    sp = sp + jnp.where(prompt_allowed[:, None, None, None, :], 0.0, NEG_INF)
+    sp = sp.reshape(BK, Hkv, G, S)
+    if kg is not None and kg.shape[1] > 0:
+        qg = q[:, 0].reshape(BK, Hkv, G, D)
+        sg = jnp.einsum("nhgd,nthd->nhgt", qg, kg,
+                        preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(jnp.concatenate([sp, sg], axis=-1), axis=-1)
+        pp, pg = probs[..., :S], probs[..., S:]
+        out = jnp.einsum("bkhgs,bshd->bkhgd", pp.reshape(B, K, Hkv, G, S),
+                         vp.astype(pp.dtype), preferred_element_type=jnp.float32)
+        out = out.reshape(BK, Hkv, G, D) + jnp.einsum(
+            "nhgt,nthd->nhgd", pg, vg.astype(pg.dtype),
+            preferred_element_type=jnp.float32)
+    else:
+        pp = jax.nn.softmax(sp, axis=-1)
+        out = jnp.einsum("bkhgs,bshd->bkhgd", pp.reshape(B, K, Hkv, G, S),
+                         vp.astype(pp.dtype),
+                         preferred_element_type=jnp.float32).reshape(BK, Hkv, G, D)
+    return out.reshape(BK, 1, H, D).astype(q.dtype)
+
+
 def pallas_attention_ok(S: int) -> bool:
     """Whole-head S x S score tiles must fit VMEM (~16MB/core at f32)."""
     return S <= 1024
@@ -134,6 +183,32 @@ class GQAAttention(nn.Module):
         cos, sin = rope_cos_sin(positions, self.head_dim, self.rope_theta)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        if kv_cache is not None and "k_prompt" in kv_cache:
+            # Beam-decode path: prompt KV shared [B, S], generated KV per-beam.
+            # `allowed` is the beam-invariant prompt row [B, 1, 1, S] (or [B, S]);
+            # `cache_index` must be a static int (the unrolled decode step).
+            prompt_allowed = allowed if allowed.ndim == 2 else allowed[:, 0, 0, :]
+            if "k" in kv_cache:  # self stream: write, then read [0, idx]
+                assert isinstance(cache_index, int)
+                k_all = jax.lax.dynamic_update_slice(
+                    kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
+                new_cache = {**kv_cache, "k": k_all, "v": v_all}
+                kg, vg = k_all[:, :cache_index + 1], v_all[:, :cache_index + 1]
+            else:  # cross stream: generated keys are never attended (masks.py)
+                new_cache = kv_cache
+                kg = vg = None
+            out = attend_shared_prompt(
+                q, kv_cache["k_prompt"], kv_cache["v_prompt"], kg, vg,
+                prompt_allowed, self.head_dim ** -0.5)
+            out = out.reshape(b, s, self.num_heads * self.head_dim)
+            out = dense(d_model, "o_proj")(out)
+            if self.is_cross:
+                gate = dense(d_model, "gating")(x)
+                out = out * jax.nn.silu(gate)
+            return out, new_cache
 
         new_cache = None
         if kv_cache is not None:

@@ -102,7 +102,10 @@ class PositionRoutedMLP(nn.Module):
         num_positions: int | None = None,  # block size for the periodic path
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        params = self._expert_params()
+        # Cast stacked expert weights (stored fp32) to the compute dtype so the
+        # expert einsums hit the MXU at bf16 rate instead of promoting to fp32.
+        params = {k: v.astype(self.dtype) for k, v in self._expert_params().items()}
+        x = x.astype(self.dtype)
         if self.behavior_injection:
             assert behavior_index is not None
             bemb = nn.Embed(self.num_behavior + 1, self.behavior_dim,
@@ -112,13 +115,14 @@ class PositionRoutedMLP(nn.Module):
             x_in = x
 
         if not self.is_sparse:
-            w = {k: v[0] for k, v in params.items()}
+            w = {k: v[0] for k, v in params.items()}  # already compute-dtype
             return self._apply_expert(x_in, w, deterministic).astype(x.dtype)
 
         routing = expert_index if expert_index is not None else position_index
         shared_out = None
         if self.shared_expert:
-            shared_out = self._apply_expert(x_in, self._shared_params(), deterministic)
+            shared_w = {k: v.astype(self.dtype) for k, v in self._shared_params().items()}
+            shared_out = self._apply_expert(x_in, shared_w, deterministic)
 
         if route_mode == "periodic":
             # Exact fast path: token t routes to expert (t % P) + 1. Valid when

@@ -4,7 +4,10 @@ sharding paths (mesh, pjit, collectives) are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the image exports JAX_PLATFORMS=axon, and
+# main._apply_platform_env re-reads the env var — a leftover "axon" would flip
+# the backend to the real TPU tunnel mid-test-run (1 device + exclusive lock).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

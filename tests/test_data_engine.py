@@ -243,3 +243,31 @@ class TestBatching:
         batches = list(iterate_batches(examples, 4, batcher.collate))
         assert len(batches) == 2
         assert batches[1]["row_valid"].tolist() == [1, 0, 0, 0]
+
+
+class TestExampleStore:
+    def test_arena_matches_batcher(self, corpus, builder):
+        """native.ExampleStore must produce byte-identical batches to
+        DecoderBatcher.collate."""
+        from gamer_tpu import native
+
+        examples = builder.build_decoder_train_examples(augment=2)
+        batcher = DecoderBatcher.for_examples(
+            examples, behavior_token_ids=corpus.vocab.behavior_token_ids)
+        store = native.ExampleStore(examples, corpus.vocab.behavior_token_ids)
+        idx = np.arange(min(16, len(examples)))
+        b1 = batcher.collate([examples[i] for i in idx])
+        b2 = store.collate(idx, batcher.seq_len)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+    def test_arena_valid_split_masks_prompt(self, corpus, builder):
+        from gamer_tpu import native
+        from gamer_tpu.data.batching import IGNORE_LABEL
+
+        examples = builder.build_valid_examples()
+        store = native.ExampleStore(examples, corpus.vocab.behavior_token_ids)
+        batch = store.collate(np.arange(4), store.max_len)
+        for i in range(4):
+            p = len(examples[i].prompt)
+            assert (batch["labels"][i, :p] == IGNORE_LABEL).all()

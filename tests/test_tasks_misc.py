@@ -104,3 +104,23 @@ def test_expert_params_sharded_on_model_axis():
     embed_specs = [s.spec for path, s in flat
                    if any("embed_tokens" in str(getattr(k, "key", "")) for k in path)]
     assert all(spec == P("model") for spec in embed_specs)
+
+
+def test_train_task_on_multichip_mesh(synth_dir, tmp_path):
+    """train_SMB_decoder over a 4x2 (data x model) mesh on virtual devices:
+    DP batch sharding + EP expert sharding through the actual task."""
+    from gamer_tpu.core.mesh import MeshContext, default_mesh
+    from gamer_tpu.tasks.train_smb_decoder import TrainSMBDecoder
+
+    ctx = MeshContext(default_mesh(data=4, model=2))
+    task = TrainSMBDecoder()
+    res = task.invoke(
+        dataset="Synth", data_path=synth_dir, tasks="smb_explicit_decoder",
+        index_file=".index.json", max_his_len=6, backbone="Qwen3Multi",
+        base_model=None, output_dir=str(tmp_path / "mesh_ckpt"), seed=0,
+        epochs=1, batch_size=8, micro_batch_size=8, learning_rate=1e-3,
+        weight_decay=0.01, warmup_ratio=0.0, lr_scheduler_type="cosine",
+        temperature=0.7, patience=2, only_train_response=False,
+        model_max_length=128, dtype="float32", n_layers=1, hidden_size=16,
+        mesh_ctx=ctx, attention_impl="jnp")
+    assert np.isfinite(res["best_metric"])
