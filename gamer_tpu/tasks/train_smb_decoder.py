@@ -124,9 +124,10 @@ class TrainSMBDecoder(Task):
         import jax
 
         if attention_impl == "auto":
-            # jnp wins the end-to-end A/B at the flagship scale
-            # (docs/benchmarks.md); pallas available explicitly for long-S runs
-            attention_impl = "jnp"
+            # the fused pallas kernel wins the honest end-to-end A/B on TPU
+            # (808 vs 595 seq/s/chip, docs/benchmarks.md); prepare_train_inputs
+            # falls back to jnp masks off-TPU or when S exceeds the kernel limit
+            attention_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
         # enc-dec backbones on SMB data (ref train_SMB_decoder.py:194-240
         # dispatches TIGER/PBATransformer too)
         from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES
