@@ -28,8 +28,12 @@ class RMSNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        y = x * jax.lax.rsqrt(var + self.eps)
-        return (y * scale).astype(x.dtype)
+        # variance/rsqrt in fp32 for stability, but multiply in the input dtype:
+        # promoting x to fp32 here doubles HBM traffic on an activation-sized
+        # tensor at every norm site (3+ per layer), and the train step is
+        # bandwidth-bound (docs/benchmarks.md).
+        y = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return y * scale.astype(x.dtype)
 
 
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float = 1e6) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -43,11 +47,14 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float = 1e6) -> t
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x [B, S, H, D]; cos/sin [B, S, D]."""
+    """x [B, S, H, D]; cos/sin [B, S, D] (angles computed fp32, applied in
+    x.dtype — a fp32 multiply here materializes [B,S,H,D] fp32 per layer)."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return (x * cos[:, :, None, :] + rotated * sin[:, :, None, :]).astype(x.dtype)
+    cos = cos.astype(x.dtype)[:, :, None, :]
+    sin = sin.astype(x.dtype)[:, :, None, :]
+    return x * cos + rotated * sin
 
 
 def attend(
@@ -228,12 +235,15 @@ class GQAAttention(nn.Module):
         if use_pallas:
             from gamer_tpu.ops.pallas_attention import fused_mask_attention
 
+            # flat head-contiguous layout: reshape is a bitcast, no transposes
             out = fused_mask_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                q.reshape(b, s, self.num_heads * self.head_dim),
+                k.reshape(b, s, self.num_kv_heads * self.head_dim),
+                v.reshape(b, s, self.num_kv_heads * self.head_dim),
                 streams["attention_mask"], streams["session_ids"],
                 streams["actions"], streams["block_ids"],
-                mask_kind, self.attention_impl == "pallas_interpret",
-            ).transpose(0, 2, 1, 3)
+                self.num_heads, mask_kind, self.attention_impl == "pallas_interpret",
+            )
         else:
             out = attend(q, k, v, allowed, self.head_dim ** -0.5)
         out = out.reshape(b, s, self.num_heads * self.head_dim)

@@ -51,10 +51,19 @@ def _streams_from_refs(attn_ref, sid_ref, act_ref, blk_ref, S):
     return pos, attn_ref[0, 0], sid_ref[0, 0], act_ref[0, 0], blk_ref[0, 0]
 
 
-def _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk):
-    allowed = _mask_tile(kind, pos, pos, sid, sid, act, act, blk, blk, k_ok)
-    scores = jnp.dot(q.astype(jnp.float32), k.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32) * scale
+def _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk, rows=None):
+    """rows=(r0, r1) restricts the query side to a row chunk (flash-style
+    blocked backward); streams are always full-length key-side vectors."""
+    if rows is None:
+        qpos, qsid, qact, qblk = pos, sid, act, blk
+    else:
+        r0, r1 = rows
+        qpos, qsid, qact, qblk = pos[r0:r1], sid[r0:r1], act[r0:r1], blk[r0:r1]
+    allowed = _mask_tile(kind, qpos, pos, qsid, sid, qact, act, qblk, blk, k_ok)
+    # operands in their native dtype (bf16 on the train path): the MXU
+    # accumulates in fp32 via preferred_element_type, and skipping the f32
+    # casts avoids [S,D] fp32 copies in VMEM
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     scores = jnp.where(allowed, scores, NEG)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -62,42 +71,68 @@ def _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, attn_ref, sid_ref, act_ref, blk_ref,
-                out_ref, *, kind: str, scale: float):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    S = k.shape[0]
+                out_ref, *, kind: str, scale: float, num_heads: int):
+    """One program per batch element; heads are static column slices of the
+    projection-native [S, H*D] block (one HBM pass, no transposes)."""
+    S, HD = q_ref.shape[1], q_ref.shape[2]
+    D = HD // num_heads
+    G = num_heads // (k_ref.shape[2] // D)
     pos, k_ok, sid, act, blk = _streams_from_refs(attn_ref, sid_ref, act_ref, blk_ref, S)
-    probs = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk)
-    out_ref[0, 0] = jnp.dot(probs.astype(v.dtype), v,
-                            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    for h in range(num_heads):
+        q = q_ref[0, :, h * D:(h + 1) * D]
+        kc = (h // G) * D
+        k = k_ref[0, :, kc:kc + D]
+        v = v_ref[0, :, kc:kc + D]
+        probs = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk)
+        out_ref[0, :, h * D:(h + 1) * D] = jnp.dot(
+            probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref, act_ref, blk_ref,
-                dq_ref, dk_ref, dv_ref, *, kind: str, scale: float, groups: int):
-    """One program per (batch, kv head): loops over the GQA query-head group,
+                dq_ref, dk_ref, dv_ref, *, kind: str, scale: float,
+                num_heads: int, groups: int):
+    """One program per batch element: loops kv heads x their GQA query group,
     recomputes probs and emits gradients (flash-attention backward math)."""
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    S = k.shape[0]
+    S = k_ref.shape[1]
+    D = k_ref.shape[2] // (num_heads // groups)
     pos, k_ok, sid, act, blk = _streams_from_refs(attn_ref, sid_ref, act_ref, blk_ref, S)
 
-    dk_acc = jnp.zeros_like(k)
-    dv_acc = jnp.zeros_like(v)
-    for g in range(groups):
-        q = q_ref[0, g].astype(jnp.float32)
-        dout = dout_ref[0, g].astype(jnp.float32)
-        P = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk)  # [S, S]
-        dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
-        Drow = jnp.sum(dout * jnp.dot(P, v, preferred_element_type=jnp.float32),
-                       axis=-1, keepdims=True)
-        dS = P * (dP - Drow)  # [S, S]
-        dq_ref[0, g] = (jnp.dot(dS, k, preferred_element_type=jnp.float32)
-                        * scale).astype(dq_ref.dtype)
-        dk_acc += jnp.dot(dS.T, q, preferred_element_type=jnp.float32) * scale
-        dv_acc += jnp.dot(P.T, dout, preferred_element_type=jnp.float32)
-    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+    # Operands stay in the input dtype (bf16 in training) — the MXU takes them
+    # natively with fp32 accumulation via preferred_element_type. Only P/dP are
+    # fp32 [S,S]; dS is rounded to the input dtype immediately so at most two
+    # fp32 [S,S] tensors are ever live (S=1024 OOMs VMEM otherwise).
+    dt = q_ref.dtype
+    # query rows are processed in chunks so only [C, S] score-sized fp32
+    # temporaries live in VMEM at once — whole-row backward OOMs at S ~ 1024
+    CHUNK = 512
+    for hk in range(num_heads // groups):
+        k = k_ref[0, :, hk * D:(hk + 1) * D]
+        v = v_ref[0, :, hk * D:(hk + 1) * D]
+        dk_acc = jnp.zeros((S, D), jnp.float32)
+        dv_acc = jnp.zeros((S, D), jnp.float32)
+        for g in range(groups):
+            col = (hk * groups + g) * D
+            for r0 in range(0, S, CHUNK):
+                r1 = min(S, r0 + CHUNK)
+                q = q_ref[0, r0:r1, col:col + D]
+                dout = dout_ref[0, r0:r1, col:col + D]
+                P = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk,
+                                  rows=(r0, r1))  # [C, S] f32
+                Pd = P.astype(dt)
+                # all uses of P precede dS so its buffer can be reclaimed
+                dv_acc += jnp.dot(Pd.T, dout, preferred_element_type=jnp.float32)
+                Drow = jnp.sum(dout.astype(jnp.float32)
+                               * jnp.dot(Pd, v, preferred_element_type=jnp.float32),
+                               axis=-1, keepdims=True)
+                dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
+                dS = (P * (dP - Drow)).astype(dt)  # P and dP die here
+                dq_ref[0, r0:r1, col:col + D] = (
+                    jnp.dot(dS, k, preferred_element_type=jnp.float32) * scale
+                ).astype(dq_ref.dtype)
+                dk_acc += jnp.dot(dS.T, q, preferred_element_type=jnp.float32) * scale
+        dk_ref[0, :, hk * D:(hk + 1) * D] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, hk * D:(hk + 1) * D] = dv_acc.astype(dv_ref.dtype)
 
 
 def _stream_args(attention_mask, session_ids, actions, block_ids):
@@ -107,68 +142,68 @@ def _stream_args(attention_mask, session_ids, actions, block_ids):
             block_ids.astype(jnp.int32)[:, None, :])
 
 
-def _head_spec(S, D):
-    return pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0))
-
-
-def _kv_spec(S, D, G):
-    return pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h // G, 0, 0))
-
-
 def _stream_spec(S):
-    return pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0))
+    return pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_mask_attention(q, k, v, attention_mask, session_ids, actions, block_ids,
-                         kind: str = "causal", interpret: bool = False):
-    """q [B, H, S, D], k/v [B, Hkv, S, D] -> out [B, H, S, D].
+                         num_heads: int, kind: str = "causal",
+                         interpret: bool = False):
+    """q [B, S, H*D] (projection-native layout, head h = columns [h*D,(h+1)*D)),
+    k/v [B, S, Hkv*D] -> out [B, S, H*D].
 
-    Mask evaluated inside the kernel from the integer streams (all [B, S])."""
+    Taking the flat head-contiguous layout lets the BlockSpec index map slice
+    one head per program as contiguous lanes — no [B,H,S,D] transpose copies on
+    either side of the kernel. Masks are evaluated inside the kernel from the
+    integer streams (all [B, S])."""
     return _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
-                    kind, interpret)
+                    num_heads, kind, interpret)
 
 
-def _forward(q, k, v, attention_mask, session_ids, actions, block_ids, kind,
-             interpret):
-    B, H, S, D = q.shape
-    G = H // k.shape[1]
-    kernel = functools.partial(_fwd_kernel, kind=kind, scale=D ** -0.5)
+def _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
+             num_heads, kind, interpret):
+    B, S, HD = q.shape
+    D = HD // num_heads
+    kernel = functools.partial(_fwd_kernel, kind=kind, scale=D ** -0.5,
+                               num_heads=num_heads)
+    full = lambda width: pl.BlockSpec((1, S, width), lambda b: (b, 0, 0))
     return pl.pallas_call(
         kernel,
-        grid=(B, H),
-        in_specs=[_head_spec(S, D), _kv_spec(S, D, G), _kv_spec(S, D, G),
+        grid=(B,),
+        in_specs=[full(HD), full(k.shape[2]), full(v.shape[2]),
                   _stream_spec(S), _stream_spec(S), _stream_spec(S), _stream_spec(S)],
-        out_specs=_head_spec(S, D),
-        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        out_specs=full(HD),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
         interpret=interpret,
     )(q, k, v, *_stream_args(attention_mask, session_ids, actions, block_ids))
 
 
-def _fwd_rule(q, k, v, attention_mask, session_ids, actions, block_ids, kind,
-              interpret):
+def _fwd_rule(q, k, v, attention_mask, session_ids, actions, block_ids,
+              num_heads, kind, interpret):
     out = _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
-                   kind, interpret)
+                   num_heads, kind, interpret)
     return out, (q, k, v, attention_mask, session_ids, actions, block_ids)
 
 
-def _bwd_rule(kind, interpret, residuals, dout):
+def _bwd_rule(num_heads, kind, interpret, residuals, dout):
     q, k, v, attention_mask, session_ids, actions, block_ids = residuals
-    B, H, S, D = q.shape
-    Hkv = k.shape[1]
-    G = H // Hkv
-    kernel = functools.partial(_bwd_kernel, kind=kind, scale=D ** -0.5, groups=G)
-    group_q = pl.BlockSpec((1, G, S, D), lambda b, h: (b, h, 0, 0))
-    kv = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0))
+    B, S, HD = q.shape
+    D = HD // num_heads
+    Hkv = k.shape[2] // D
+    G = num_heads // Hkv
+    kernel = functools.partial(_bwd_kernel, kind=kind, scale=D ** -0.5,
+                               num_heads=num_heads, groups=G)
+    full = lambda width: pl.BlockSpec((1, S, width), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(B, Hkv),
-        in_specs=[group_q, kv, kv, group_q,
+        grid=(B,),
+        in_specs=[full(HD), full(Hkv * D), full(Hkv * D), full(HD),
                   _stream_spec(S), _stream_spec(S), _stream_spec(S), _stream_spec(S)],
-        out_specs=(group_q, kv, kv),
-        out_shape=(jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, Hkv, S, D), k.dtype),
-                   jax.ShapeDtypeStruct((B, Hkv, S, D), v.dtype)),
+        out_specs=(full(HD), full(Hkv * D), full(Hkv * D)),
+        out_shape=(jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, Hkv * D), k.dtype),
+                   jax.ShapeDtypeStruct((B, S, Hkv * D), v.dtype)),
         interpret=interpret,
     )(q, k, v, dout,
       *_stream_args(attention_mask, session_ids, actions, block_ids))

@@ -40,11 +40,23 @@ def jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind):
     return out.transpose(0, 2, 1, 3)
 
 
+def flat(x):
+    """[B, H, S, D] -> the kernel's projection-native [B, S, H*D] layout."""
+    B, H, S, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+
+
+def unflat(x, H):
+    B, S, HD = x.shape
+    return x.reshape(B, S, H, HD // H).transpose(0, 2, 1, 3)
+
+
 @pytest.mark.parametrize("kind", ["causal", "session", "multi", "session_multi"])
 def test_fused_matches_reference(kind):
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
-    got = fused_mask_attention(q, k, v, attn, sessions, actions, block_ids,
-                               kind, True)
+    H = q.shape[1]
+    got = unflat(fused_mask_attention(flat(q), flat(k), flat(v), attn, sessions,
+                                      actions, block_ids, H, kind, True), H)
     want = jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind)
     # compare only rows with at least one allowed key (pad/fully-masked query
     # rows produce unconsumed junk in both implementations)
@@ -67,11 +79,12 @@ def test_fused_matches_reference(kind):
 def test_gqa_head_mapping():
     """kv head h//G must be used: alter one kv head, only its group changes."""
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
-    out1 = fused_mask_attention(q, k, v, attn, sessions, actions, block_ids,
-                                "causal", True)
+    H = q.shape[1]
+    out1 = unflat(fused_mask_attention(flat(q), flat(k), flat(v), attn, sessions,
+                                       actions, block_ids, H, "causal", True), H)
     k2 = k.at[:, 1].set(k[:, 1] + 1.0)
-    out2 = fused_mask_attention(q, k2, v, attn, sessions, actions, block_ids,
-                                "causal", True)
+    out2 = unflat(fused_mask_attention(flat(q), flat(k2), flat(v), attn, sessions,
+                                       actions, block_ids, H, "causal", True), H)
     diff = np.abs(np.asarray(out1) - np.asarray(out2)).sum(axis=(0, 2, 3))
     assert diff[0] == 0 and diff[1] == 0  # group 0 (heads 0,1) unchanged
     assert diff[2] > 0 and diff[3] > 0  # group 1 (heads 2,3) changed
