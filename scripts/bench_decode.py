@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--blocks", type=int, default=40, help="prompt item blocks")
     ap.add_argument("--beams", type=int, default=20)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cache_dtype", type=str, default="float32")
     args = ap.parse_args()
 
     plat = os.environ.get("JAX_PLATFORMS")
@@ -56,7 +57,7 @@ def main():
     batch["prompt_len"] = jnp.full((B,), blocks * cfg.num_positions, jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), **prepare_train_inputs(cfg, batch))
 
-    search = make_beam_search_fn(model, trie, BeamSearchConfig(num_beams=args.beams))
+    search = make_beam_search_fn(model, trie, BeamSearchConfig(num_beams=args.beams, cache_dtype=args.cache_dtype))
     beh = jnp.int32(1)
 
     codes_out, scores = search(variables, batch, beh)
