@@ -120,7 +120,7 @@ class MeshContext:
         for path, leaf in flat:
             path_str = "/".join(_key_str(k) for k in path)
             spec = self.rules.spec_for(path_str)
-            spec = _fit_spec(spec, np.shape(leaf), self.mesh)
+            spec = _fit_spec(spec, np.shape(leaf), self.mesh, path_str)
             shardings.append(NamedSharding(self.mesh, spec))
         return jax.tree_util.tree_unflatten(treedef, shardings)
 
@@ -140,9 +140,14 @@ def _key_str(k: Any) -> str:
     return str(k)
 
 
-def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+def _fit_spec(spec: P, shape: tuple, mesh: Mesh, path: str = "") -> P:
     """Drop trailing spec axes beyond the array rank; replicate any dimension
-    whose mesh-axis size doesn't divide it (e.g. odd vocab on a 2-way axis)."""
+    whose mesh-axis size doesn't divide it (e.g. odd vocab on a 2-way axis).
+
+    Replication is a fallback, not a policy: it is logged loudly so an
+    indivisible table is never *silently* replicated — pad the dimension
+    (e.g. vocab via `pad_to_multiple`) to get the sharding the rules ask for.
+    """
     parts = list(spec)[: len(shape)]
     fitted = []
     for dim, axis in zip(shape, parts + [None] * (len(shape) - len(parts))):
@@ -150,10 +155,25 @@ def _fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
             fitted.append(None)
         else:
             size = mesh.shape[axis]
-            fitted.append(axis if dim % size == 0 else None)
+            if dim % size == 0:
+                fitted.append(axis)
+            else:
+                if size > 1:
+                    from gamer_tpu.core.logging import get_logger
+
+                    get_logger("mesh").warning(
+                        "replicating %s dim %d (not divisible by %s=%d) — "
+                        "pad it to shard as ruled", path or "param", dim, axis, size)
+                fitted.append(None)
     while fitted and fitted[-1] is None:
         fitted.pop()
     return P(*fitted) if fitted else P()
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    """Round n up to a multiple (vocab/table padding for clean sharding +
+    MXU-friendly lane tiling)."""
+    return ((n + multiple - 1) // multiple) * multiple
 
 
 def local_batch_size(global_batch: int, ctx: MeshContext) -> int:

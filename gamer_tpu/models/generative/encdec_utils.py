@@ -35,14 +35,18 @@ def prepare_encdec_inputs(cfg: EncDecConfig, batch: dict) -> dict:
     )
 
 
-def encdec_loss_fn(model: EncDecModel, cfg: EncDecConfig):
+def encdec_loss_fn(model: EncDecModel, cfg: EncDecConfig,
+                   deterministic: bool = False):
     """Temperature-scaled CE: logits[t] predicts labels[t] (decoder inputs are
-    already shifted; ref TIGER/model.py:156-161)."""
+    already shifted; ref TIGER/model.py:156-161). `deterministic=True` is the
+    eval variant (dropout off, no rng); aux carries the valid-target count so
+    Trainer.evaluate can form a global token mean."""
 
     def loss_fn(variables, batch, rng):
         inputs = prepare_encdec_inputs(cfg, batch)
-        out = model.apply(variables, **inputs, deterministic=False,
-                          rngs={"dropout": rng})
+        rngs = None if deterministic else {"dropout": rng}
+        out = model.apply(variables, **inputs, deterministic=deterministic,
+                          rngs=rngs)
         logits = out["logits"].astype(jnp.float32) / cfg.temperature
         labels = batch["labels"]
         valid = labels != IGNORE_LABEL
@@ -52,7 +56,8 @@ def encdec_loss_fn(model: EncDecModel, cfg: EncDecConfig):
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
         nll = jnp.where(valid, nll, 0.0)
-        loss = nll.sum() / jnp.maximum(valid.sum(), 1)
-        return loss, {}
+        denom = jnp.maximum(valid.sum(), 1)
+        loss = nll.sum() / denom
+        return loss, {"denom": denom}
 
     return loss_fn

@@ -71,6 +71,14 @@ class QwenFamilyConfig(Config):
     model_max_length: int = 1024
     dtype: str = "float32"
     attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (train path)
+    # embed-table row count, >= vocab_size (0 = vocab_size). Padded so the
+    # vocab table row-shards evenly on the mesh model axis and tiles the MXU
+    # lane dim; padded rows are never looked up and never produce logits.
+    padded_vocab_size: int = 0
+    # remat ("gradient checkpointing") over the layer stack: recompute layer
+    # activations in backward instead of storing them (ref plumbs HF
+    # gradient_checkpointing, train_SMB_decoder.py:412, Qwen3Multi/model.py:363-374)
+    remat: bool = False
 
     @property
     def jax_dtype(self):
@@ -149,91 +157,127 @@ class QwenFamilyModel(nn.Module):
     ) -> dict:
         cfg = self.cfg
         dtype = cfg.jax_dtype
-        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="embed_tokens")
+        n_rows = cfg.padded_vocab_size or cfg.vocab_size
+        embed = nn.Embed(n_rows, cfg.hidden_size, dtype=dtype, name="embed_tokens")
         x = embed(input_ids)
-        drop = lambda y: nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(y)
 
         new_caches = {"self": [], "cross": []} if caches is not None else None
-        for i in range(cfg.num_hidden_layers):
-            is_cross = i in cfg.cross_attention_layers
-            is_sparse = i in cfg.sparse_layers
-            is_injection = i in cfg.behavior_injection_layers
+        use_remat = cfg.remat and caches is None  # decode never remats
 
+        for i in range(cfg.num_hidden_layers):
+            layer_caches = None
+            if caches is not None:
+                layer_caches = {"self": caches["self"][i], "cross": caches["cross"][i]}
+
+            def layer_body(mdl, x, rope_positions, self_allowed, cross_allowed,
+                           position_index, behavior_index, action_index,
+                           expert_index, streams, layer_caches, _i=i):
+                return mdl._layer(
+                    _i, x, rope_positions, self_allowed, cross_allowed,
+                    position_index, behavior_index, action_index, expert_index,
+                    streams, layer_caches, cache_index, deterministic, route_mode)
+
+            if use_remat:
+                # recompute layer activations in backward (trades FLOPs for
+                # HBM; enables S>=2048 / large-batch training)
+                layer_body = nn.remat(layer_body)
+            x, new_self_cache, new_cross_cache = layer_body(
+                self, x, rope_positions, self_allowed, cross_allowed,
+                position_index, behavior_index, action_index, expert_index,
+                streams, layer_caches)
+            if new_caches is not None:
+                new_caches["self"].append(new_self_cache)
+                new_caches["cross"].append(new_cross_cache)
+        x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+        if logits_last_only:
+            x = x[:, -1:, :]
+        if cfg.tie_word_embeddings:
+            # slice the (possibly padded) table back to the real vocab BEFORE
+            # the matmul — logits stay exactly [B, S, vocab_size], so losses
+            # and decode need no padded-id masking
+            table = embed.embedding[:cfg.vocab_size].astype(x.dtype)
+            logits = jnp.einsum("bsd,vd->bsv", x, table)
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.jax_dtype,
+                              name="lm_head")(x)
+        return {"logits": logits, "caches": new_caches}
+
+    def _layer(self, i, x, rope_positions, self_allowed, cross_allowed,
+               position_index, behavior_index, action_index, expert_index,
+               streams, layer_caches, cache_index, deterministic, route_mode):
+        """One decoder layer: self-attn, optional behavior cross-attn, MLP.
+
+        Kept as a separate method so `__call__` can lift it through nn.remat
+        (gradient checkpointing) without changing parameter names."""
+        cfg = self.cfg
+        dtype = cfg.jax_dtype
+        is_cross = i in cfg.cross_attention_layers
+        is_sparse = i in cfg.sparse_layers
+        is_injection = i in cfg.behavior_injection_layers
+        drop = lambda y: nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(y)
+
+        residual = x
+        h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/input_layernorm")(x)
+        attn_out, new_self_cache = GQAAttention(
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            rope_theta=cfg.rope_theta,
+            rms_eps=cfg.rms_norm_eps,
+            attention_bias=cfg.attention_bias,
+            dtype=dtype,
+            attention_impl=cfg.attention_impl,
+            name=f"layers_{i}/self_attn",
+        )(h, rope_positions, self_allowed,
+          kv_cache=None if layer_caches is None else layer_caches["self"],
+          cache_index=cache_index,
+          mask_kind=cfg.self_mask_kind, streams=streams)
+        x = residual + drop(attn_out)
+
+        new_cross_cache = None
+        if is_cross:
             residual = x
-            h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/input_layernorm")(x)
-            attn_out, new_self_cache = GQAAttention(
+            h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/post_self_attention_layernorm")(x)
+            cross_out, new_cross_cache = GQAAttention(
                 num_heads=cfg.num_attention_heads,
                 num_kv_heads=cfg.num_key_value_heads,
                 head_dim=cfg.head_dim,
                 rope_theta=cfg.rope_theta,
                 rms_eps=cfg.rms_norm_eps,
                 attention_bias=cfg.attention_bias,
+                is_cross=True,
+                num_behavior=cfg.num_behavior,
                 dtype=dtype,
                 attention_impl=cfg.attention_impl,
-                name=f"layers_{i}/self_attn",
-            )(h, rope_positions, self_allowed,
-              kv_cache=None if caches is None else caches["self"][i],
+                name=f"layers_{i}/cross_attn",
+            )(h, rope_positions, cross_allowed, action_index=action_index,
+              kv_cache=None if layer_caches is None else layer_caches["cross"],
               cache_index=cache_index,
-              mask_kind=cfg.self_mask_kind, streams=streams)
-            x = residual + drop(attn_out)
+              mask_kind=cfg.cross_mask_kind, streams=streams)
+            x = residual + drop(cross_out)
 
-            new_cross_cache = None
-            if is_cross:
-                residual = x
-                h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/post_self_attention_layernorm")(x)
-                cross_out, new_cross_cache = GQAAttention(
-                    num_heads=cfg.num_attention_heads,
-                    num_kv_heads=cfg.num_key_value_heads,
-                    head_dim=cfg.head_dim,
-                    rope_theta=cfg.rope_theta,
-                    rms_eps=cfg.rms_norm_eps,
-                    attention_bias=cfg.attention_bias,
-                    is_cross=True,
-                    num_behavior=cfg.num_behavior,
-                    dtype=dtype,
-                    attention_impl=cfg.attention_impl,
-                    name=f"layers_{i}/cross_attn",
-                )(h, rope_positions, cross_allowed, action_index=action_index,
-                  kv_cache=None if caches is None else caches["cross"][i],
-                  cache_index=cache_index,
-                  mask_kind=cfg.cross_mask_kind, streams=streams)
-                x = residual + drop(cross_out)
-
-            residual = x
-            h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/post_cross_attention_layernorm")(x)
-            mlp_out = PositionRoutedMLP(
-                d_model=cfg.hidden_size,
-                d_ff=cfg.intermediate_size,
-                num_experts=cfg.total_experts,
-                is_sparse=is_sparse,
-                mlp_type=cfg.mlp_type,
-                hidden_act=cfg.hidden_act,
-                behavior_injection=is_injection,
-                num_behavior=cfg.num_behavior,
-                behavior_dim=cfg.behavior_embedding_dim,
-                dropout_rate=cfg.dropout_rate,
-                dtype=dtype,
-                name=f"layers_{i}/mlp",
-            )(h, position_index, behavior_index,
-              expert_index=expert_index if cfg.moe_action else None,
-              route_mode="onehot" if cfg.moe_action else route_mode,
-              num_positions=cfg.num_positions,
-              deterministic=deterministic)
-            x = residual + drop(mlp_out)
-
-            if new_caches is not None:
-                new_caches["self"].append(new_self_cache)
-                new_caches["cross"].append(new_cross_cache)
-
-        x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
-        if logits_last_only:
-            x = x[:, -1:, :]
-        if cfg.tie_word_embeddings:
-            logits = embed.attend(x)
-        else:
-            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.jax_dtype,
-                              name="lm_head")(x)
-        return {"logits": logits, "caches": new_caches}
+        residual = x
+        h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/post_cross_attention_layernorm")(x)
+        mlp_out = PositionRoutedMLP(
+            d_model=cfg.hidden_size,
+            d_ff=cfg.intermediate_size,
+            num_experts=cfg.total_experts,
+            is_sparse=is_sparse,
+            mlp_type=cfg.mlp_type,
+            hidden_act=cfg.hidden_act,
+            behavior_injection=is_injection,
+            num_behavior=cfg.num_behavior,
+            behavior_dim=cfg.behavior_embedding_dim,
+            dropout_rate=cfg.dropout_rate,
+            dtype=dtype,
+            name=f"layers_{i}/mlp",
+        )(h, position_index, behavior_index,
+          expert_index=expert_index if cfg.moe_action else None,
+          route_mode=route_mode,
+          num_positions=cfg.num_positions,
+          deterministic=deterministic)
+        x = residual + drop(mlp_out)
+        return x, new_self_cache, new_cross_cache
 
 
 def prepare_train_inputs(cfg: QwenFamilyConfig, batch: dict) -> dict:

@@ -16,13 +16,18 @@ import jax.numpy as jnp
 IGNORE_LABEL = -100
 
 
-def causal_lm_loss(
+def causal_lm_loss_with_denom(
     logits: jnp.ndarray,  # [B, S, V]
     labels: jnp.ndarray,  # [B, S] with IGNORE_LABEL masked
     temperature: float = 1.0,
     row_valid: jnp.ndarray | None = None,  # [B] 0/1 (batch-padding rows)
-) -> jnp.ndarray:
-    """Next-token CE: logits[t] predicts labels[t+1]; mean over valid targets."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Next-token CE plus the valid-target count it averaged over.
+
+    The denom lets callers recover a *global token mean* across batches (the
+    reference's per-token CE average under the HF Trainer) instead of a mean
+    of batch means — batches with more valid targets must weigh more.
+    """
     logits = logits[:, :-1, :].astype(jnp.float32) / temperature
     targets = labels[:, 1:]
     valid = targets != IGNORE_LABEL
@@ -33,7 +38,17 @@ def causal_lm_loss(
     nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
-    return nll.sum() / denom
+    return nll.sum() / denom, denom
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 1.0,
+    row_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Next-token CE: logits[t] predicts labels[t+1]; mean over valid targets."""
+    return causal_lm_loss_with_denom(logits, labels, temperature, row_valid)[0]
 
 
 def sequence_ce_loss(

@@ -134,18 +134,38 @@ class PositionRoutedMLP(nn.Module):
             assert P is not None and x.shape[1] % P == 0, "periodic path needs S % P == 0"
             b, s, _ = x_in.shape
             xb = x_in.reshape(b, s // P, P, x_in.shape[-1])
-            # select experts 1..P (leading axis) and batch the P matmuls
-            w_sel = {k: v[1:P + 1] for k, v in params.items()}
-            act = _act(self.hidden_act)
-            if self.mlp_type == "qwen3":
-                h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["gate"])) * jnp.einsum(
-                    "bnpd,pdf->bnpf", xb, w_sel["up"])
-                h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-                out = jnp.einsum("bnpf,pfd->bnpd", h, w_sel["down"])
-            else:
+
+            def periodic_out(w_sel):
+                # w_sel: P stacked experts, one per within-block position
+                act = _act(self.hidden_act)
+                if self.mlp_type == "qwen3":
+                    h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["gate"])) * jnp.einsum(
+                        "bnpd,pdf->bnpf", xb, w_sel["up"])
+                    h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+                    return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["down"])
                 h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["wi"]))
                 h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-                out = jnp.einsum("bnpf,pfd->bnpd", h, w_sel["wo"])
+                return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["wo"])
+
+            if expert_index is not None:
+                # MoeAction factorized fast path: expert = P*(a-1) + p with the
+                # action level `a` constant within each item block
+                # (ref Qwen3MoeAction/FFN.py:42-45), so each behavior level is
+                # one periodic pass over its own P-expert slice, combined by a
+                # block-level one-hot. Cost: num_behavior x dense instead of
+                # total_experts x dense (the onehot path).
+                assert self.num_behavior > 0
+                e0 = expert_index.reshape(b, s // P, P)[:, :, 0]  # block's first expert id
+                a_blk = jnp.where(e0 > 0, (e0 - 1) // P + 1, 0)  # 0 = pad/eos block
+                out = jnp.zeros((b, s // P, P, self.d_out), dtype=x_in.dtype)
+                for a in range(1, self.num_behavior + 1):
+                    w_a = {k: v[P * (a - 1) + 1: P * (a - 1) + 1 + P]
+                           for k, v in params.items()}
+                    gate_a = (a_blk == a).astype(x_in.dtype)[:, :, None, None]
+                    out = out + periodic_out(w_a) * gate_a
+            else:
+                # select experts 1..P (leading axis) and batch the P matmuls
+                out = periodic_out({k: v[1:P + 1] for k, v in params.items()})
             out = out.reshape(b, s, self.d_out)
             if shared_out is not None:
                 out = jnp.concatenate([out, shared_out], axis=-1)

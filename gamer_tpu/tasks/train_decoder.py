@@ -111,6 +111,7 @@ class TrainDecoder(Task):
         if family == "encdec":
             batcher = EncDecBatcher.for_examples(train + valid, eos_id=EOS_ID)
             loss_fn = encdec_loss_fn(model, cfg)
+            eval_loss_fn = encdec_loss_fn(model, cfg, deterministic=True)
             sample = batcher.collate(train[:2])
             params = model.init(jax.random.PRNGKey(seed),
                                 **prepare_encdec_inputs(cfg, sample))
@@ -118,13 +119,14 @@ class TrainDecoder(Task):
             batcher = DecoderBatcher.for_examples(
                 train + valid, pad_multiple=_lcm(corpus.sole_item_len, 8))
             loss_fn = make_loss_fn(model, cfg)
+            eval_loss_fn = make_loss_fn(model, cfg, deterministic=True)
             sample = batcher.collate(train[:2])
             params = model.init(jax.random.PRNGKey(seed),
                                 **prepare_train_inputs(cfg, sample))
 
         steps_per_epoch = max(len(train) // batch_size, 1)
         trainer = Trainer(
-            loss_fn=loss_fn, params=params,
+            loss_fn=loss_fn, params=params, eval_loss_fn=eval_loss_fn,
             opt_cfg=OptimizerConfig(learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,

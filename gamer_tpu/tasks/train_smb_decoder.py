@@ -24,7 +24,7 @@ from gamer_tpu.data.batching import DecoderBatcher, iterate_batches
 from gamer_tpu.data.loading_smb import load_smb_train
 from gamer_tpu.models.generative.qwen_family import (
     QwenFamilyConfig, QwenFamilyModel, build_config, prepare_train_inputs)
-from gamer_tpu.modules.losses import causal_lm_loss
+from gamer_tpu.modules.losses import causal_lm_loss_with_denom
 from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
 from gamer_tpu.train.state import OptimizerConfig
@@ -64,14 +64,21 @@ def make_model_config(backbone: str, data, base_model: str | None,
     return build_config(backbone, **derived)
 
 
-def make_loss_fn(model: QwenFamilyModel, cfg: QwenFamilyConfig):
+def make_loss_fn(model: QwenFamilyModel, cfg: QwenFamilyConfig,
+                 deterministic: bool = False):
+    """Temperature-scaled causal-LM loss. `deterministic=True` is the eval
+    variant: dropout off, no rng consumed (ref evals under model.eval(),
+    SeqRec/tasks/train_SMB_decoder.py:395-444). aux carries the valid-target
+    count so Trainer.evaluate can form a global token mean."""
     def loss_fn(params, batch, rng):
         inputs = prepare_train_inputs(cfg, batch)
-        out = model.apply(params, **inputs, deterministic=False,
-                          route_mode="periodic", rngs={"dropout": rng})
-        loss = causal_lm_loss(out["logits"], batch["labels"], cfg.temperature,
-                              batch.get("row_valid"))
-        return loss, {}
+        rngs = None if deterministic else {"dropout": rng}
+        out = model.apply(params, **inputs, deterministic=deterministic,
+                          route_mode="periodic", rngs=rngs)
+        loss, denom = causal_lm_loss_with_denom(
+            out["logits"], batch["labels"], cfg.temperature,
+            batch.get("row_valid"))
+        return loss, {"denom": denom}
     return loss_fn
 
 
@@ -97,8 +104,10 @@ class TrainSMBDecoder(Task):
         g.add_argument("--patience", type=int, default=20)
         g.add_argument("--only_train_response", action="store_true")
         g.add_argument("--model_max_length", type=int, default=1024)
-        g.add_argument("--dtype", type=str, default="float32",
-                       choices=["float32", "bfloat16"])
+        g.add_argument("--dtype", type=str, default="auto",
+                       choices=["auto", "float32", "bfloat16"],
+                       help="auto = bfloat16 on TPU (the benched config), "
+                            "float32 elsewhere")
         g.add_argument("--attention_impl", type=str, default="auto",
                        choices=["auto", "jnp", "pallas"],
                        help="auto = fused Pallas kernel on TPU, jnp elsewhere")
@@ -128,6 +137,10 @@ class TrainSMBDecoder(Task):
             # (808 vs 595 seq/s/chip, docs/benchmarks.md); prepare_train_inputs
             # falls back to jnp masks off-TPU or when S exceeds the kernel limit
             attention_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if dtype == "auto":
+            # ship the measured config: bf16 MXU compute on TPU (the bench.py
+            # recipe), fp32 on CPU where tests need exact parity
+            dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         # enc-dec backbones on SMB data (ref train_SMB_decoder.py:194-240
         # dispatches TIGER/PBATransformer too)
         from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES
@@ -141,6 +154,7 @@ class TrainSMBDecoder(Task):
                 warmup_ratio=warmup_ratio, temperature=temperature,
                 patience=patience, n_layers=n_layers, hidden_size=hidden_size)
 
+        ctx = mesh_ctx or MeshContext()
         overrides = {"attention_impl": attention_impl}
         if n_layers:
             overrides["num_hidden_layers"] = n_layers
@@ -148,9 +162,14 @@ class TrainSMBDecoder(Task):
             overrides["hidden_size"] = hidden_size
         cfg = make_model_config(backbone, data, base_model, temperature,
                                 model_max_length, dtype, **overrides)
-        model = QwenFamilyModel(cfg)
+        if ctx.n_model > 1:
+            # pad the vocab table so it row-shards evenly on the model axis
+            # (and tiles the 128-lane MXU); logits stay [.., vocab_size]
+            from gamer_tpu.core.mesh import pad_to_multiple
 
-        ctx = mesh_ctx or MeshContext()
+            cfg = cfg.replace(padded_vocab_size=pad_to_multiple(
+                cfg.vocab_size, _lcm(128, ctx.n_model)))
+        model = QwenFamilyModel(cfg)
         micro = micro_batch_size or batch_size
         accum = max(batch_size // micro, 1)
         pad_multiple = _lcm(builder.tc, 8)
@@ -184,6 +203,7 @@ class TrainSMBDecoder(Task):
                               config=getattr(self, "param_dict", {}))
         trainer = Trainer(
             loss_fn=self._wrap_loss(model, cfg), params={"params": params},
+            eval_loss_fn=make_loss_fn(model, cfg, deterministic=True),
             opt_cfg=opt_cfg, loop_cfg=loop_cfg, mesh_ctx=ctx,
             output_dir=output_dir, metric_writer=writer)
 
@@ -264,6 +284,7 @@ class TrainSMBDecoder(Task):
         steps_per_epoch = max(len(data.train) // batch_size, 1)
         trainer = Trainer(
             loss_fn=loss_fn, params=params,
+            eval_loss_fn=encdec_loss_fn(model, cfg, deterministic=True),
             opt_cfg=OptimizerConfig(learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,

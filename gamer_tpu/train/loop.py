@@ -61,8 +61,13 @@ class Trainer:
         output_dir: str | None = None,
         metric_writer: MetricWriter | None = None,
         eval_fn: Callable[[Any], tuple[float, dict]] | None = None,
+        eval_loss_fn: Callable[[Any, dict, jax.Array], tuple[jnp.ndarray, dict]] | None = None,
     ):
         self.loss_fn = loss_fn
+        # eval variant of the loss (dropout off). Early stopping and best-
+        # checkpoint selection must not be driven by dropout-noised loss
+        # (ref HF Trainer evals in model.eval() mode).
+        self.eval_loss_fn = eval_loss_fn or loss_fn
         self.opt_cfg = opt_cfg
         self.cfg = loop_cfg
         self.ctx = mesh_ctx or MeshContext()
@@ -101,7 +106,7 @@ class Trainer:
 
     def _build_eval_step(self):
         def step(params: Any, batch: dict):
-            loss, aux = self.loss_fn(params, batch, jax.random.PRNGKey(0))
+            loss, aux = self.eval_loss_fn(params, batch, jax.random.PRNGKey(0))
             return loss, aux
 
         return jax.jit(step)
@@ -109,12 +114,19 @@ class Trainer:
     # ------------------------------------------------------------------ loops
 
     def evaluate(self, batches: Iterable[dict]) -> float:
-        """Mean loss over batches, weighted by valid rows."""
+        """Global mean loss over batches.
+
+        Batch means are re-weighted by the loss's own denominator (aux
+        "denom": valid-target count) when the loss provides it, so the result
+        equals a single global token mean and is invariant to batch-size
+        re-chunking; otherwise falls back to valid-row weighting.
+        """
         total, weight = 0.0, 0.0
         for batch in batches:
-            w = float(np.asarray(batch.get("row_valid", np.ones(1))).sum())
+            row_w = float(np.asarray(batch.get("row_valid", np.ones(1))).sum())
             batch = self.ctx.shard_batch(batch)
-            loss, _ = self._eval_step(self.state.params, batch)
+            loss, aux = self._eval_step(self.state.params, batch)
+            w = float(aux["denom"]) if "denom" in aux else row_w
             total += float(loss) * w
             weight += w
         return total / max(weight, 1.0)
