@@ -101,15 +101,33 @@ class MeshContext:
         return NamedSharding(self.mesh, P())
 
     def shard_batch(self, batch: Any) -> Any:
-        """Place a host batch pytree onto the mesh, split along the data axis."""
+        """Place a host batch pytree onto the mesh, split along the data axis.
+
+        Single-process: the batch is the global batch; device_put splits it.
+        Multi-process (multi-host): the batch is this PROCESS's shard of the
+        global batch (see core/distributed.shard_examples); global arrays are
+        assembled from per-process shards without any cross-host copy of the
+        full batch (the reference has no analog — its DDP feeds full per-rank
+        batches, SeqRec/tasks/multi_gpu.py).
+        """
         sh = self.batch_sharding()
         rep = self.replicated()
+        pc = jax.process_count()
 
-        def put(x):
-            x = np.asarray(x)
-            if x.ndim >= 1 and x.shape[0] % self.n_data == 0:
-                return jax.device_put(x, sh)
-            return jax.device_put(x, rep)
+        if pc == 1:
+            def put(x):
+                x = np.asarray(x)
+                if x.ndim >= 1 and x.shape[0] % self.n_data == 0:
+                    return jax.device_put(x, sh)
+                return jax.device_put(x, rep)
+        else:
+            def put(x):
+                x = np.asarray(x)
+                # local rows * process_count = global batch; it must split
+                # over the data axis (which spans all processes' devices)
+                if x.ndim >= 1 and (x.shape[0] * pc) % self.n_data == 0:
+                    return jax.make_array_from_process_local_data(sh, x)
+                return jax.make_array_from_process_local_data(rep, x)
 
         return jax.tree_util.tree_map(put, batch)
 

@@ -207,22 +207,33 @@ class TrainSMBDecoder(Task):
             opt_cfg=opt_cfg, loop_cfg=loop_cfg, mesh_ctx=ctx,
             output_dir=output_dir, metric_writer=writer)
 
-        # arena-resident collation (gamer_tpu/native): one C call per field
+        # arena-resident collation (gamer_tpu/native): one C call per field.
+        # Multi-process: each process stores only ITS stride-shard of the
+        # examples and feeds micro/process_count rows per step; shard_batch
+        # assembles the global batch (core/distributed.py).
         from gamer_tpu import native
+        from gamer_tpu.core import distributed
 
+        pc = distributed.process_count()
+        if micro % pc != 0:
+            raise ValueError(f"micro batch {micro} not divisible by "
+                             f"process_count {pc}")
+        local_micro = micro // pc
         train_store = native.ExampleStore(
-            data.train, corpus.vocab.behavior_token_ids,
+            distributed.shard_examples(data.train),
+            corpus.vocab.behavior_token_ids,
             only_train_response=only_train_response)
         valid_store = native.ExampleStore(
-            data.valid, corpus.vocab.behavior_token_ids,
+            distributed.shard_examples(data.valid),
+            corpus.vocab.behavior_token_ids,
             only_train_response=only_train_response)
 
         def train_batches(epoch):
-            return train_store.iterate(micro, batcher.seq_len, shuffle=True,
+            return train_store.iterate(local_micro, batcher.seq_len, shuffle=True,
                                        seed=seed + epoch)
 
         def eval_batches():
-            return valid_store.iterate(micro, batcher.seq_len)
+            return valid_store.iterate(local_micro, batcher.seq_len)
 
         if profile_dir:
             # first-class step tracing (the reference has none, SURVEY.md 5.1)

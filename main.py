@@ -18,6 +18,11 @@ def _apply_platform_env():
 
 def main(argv=None):
     _apply_platform_env()
+    # multi-host bootstrap (no-op unless GAMER_COORDINATOR/GAMER_DISTRIBUTED
+    # is set; ref: torchrun env:// rendezvous, SeqRec/tasks/multi_gpu.py:41-53)
+    from gamer_tpu.core import distributed
+
+    distributed.maybe_initialize()
     from gamer_tpu.tasks import task_list
 
     parser = argparse.ArgumentParser("gamer_tpu", description="TPU-native GAMER framework")
