@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from gamer_tpu.core.config import Config, config_field
+from gamer_tpu.modules.dropout import BitDropout
 from gamer_tpu.modules.layers import GQAAttention, RMSNorm, rope_cos_sin
 from gamer_tpu.modules.moe import PositionRoutedMLP
 from gamer_tpu.ops import masks as mask_ops
@@ -214,7 +215,7 @@ class QwenFamilyModel(nn.Module):
         is_cross = i in cfg.cross_attention_layers
         is_sparse = i in cfg.sparse_layers
         is_injection = i in cfg.behavior_injection_layers
-        drop = lambda y: nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(y)
+        drop = lambda y: BitDropout(cfg.dropout_rate)(y, deterministic=deterministic)
 
         residual = x
         h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/input_layernorm")(x)

@@ -127,8 +127,13 @@ def attend_shared_prompt(
 
 
 def pallas_attention_ok(S: int) -> bool:
-    """Whole-head S x S score tiles must fit VMEM (~16MB/core at f32)."""
-    return S <= 1024
+    """S <= MONO_MAX uses the monolithic kernel (full S x S score tile in
+    VMEM); longer sequences stream over key blocks with an online softmax
+    (ops/pallas_attention.py streaming path) up to STREAM_MAX, beyond which
+    the full-row k/v VMEM residency no longer fits."""
+    from gamer_tpu.ops.pallas_attention import STREAM_MAX
+
+    return S <= STREAM_MAX
 
 
 class GQAAttention(nn.Module):

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gamer_tpu.modules.dropout import BitDropout
+
 
 def _act(name: str):
     return {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
@@ -85,10 +87,10 @@ class PositionRoutedMLP(nn.Module):
         act = _act(self.hidden_act)
         if self.mlp_type == "qwen3":
             h = act(x @ w["gate"]) * (x @ w["up"])
-            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+            h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
             return h @ w["down"]
         h = act(x @ w["wi"])
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
         return h @ w["wo"]
 
     @nn.compact
@@ -141,10 +143,10 @@ class PositionRoutedMLP(nn.Module):
                 if self.mlp_type == "qwen3":
                     h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["gate"])) * jnp.einsum(
                         "bnpd,pdf->bnpf", xb, w_sel["up"])
-                    h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+                    h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
                     return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["down"])
                 h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["wi"]))
-                h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+                h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
                 return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["wo"])
 
             if expert_index is not None:

@@ -135,6 +135,310 @@ def _bwd_kernel(q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref, act_ref, blk_r
         dv_ref[0, :, hk * D:(hk + 1) * D] = dv_acc.astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Streaming (flash) path for S > MONO_MAX: the monolithic kernels above keep a
+# full [S, S] (fwd) / [C, S] (bwd) score tile in VMEM, which caps S at ~1024.
+# The streaming kernels grid over query chunks with an online softmax over key
+# blocks (forward saves the per-row logsumexp), and split the backward into a
+# dq kernel (grid over query chunks) and a dk/dv kernel (grid over key blocks)
+# — the flash-attention-2 structure, with the GAMER mask predicates evaluated
+# per tile from the integer streams. Replaces the reference's
+# flash-attention-2 option (ref Qwen3Multi/model.py:123-131) for long context.
+# ---------------------------------------------------------------------------
+
+MONO_MAX = 1024  # monolithic kernels above handle S <= MONO_MAX
+STREAM_MAX = 4096  # streaming kernels keep full-row k/v (+q in dkv) in VMEM
+_QC = 512  # query-chunk rows (grid dim)
+_KC = 512  # key-block columns (inner online-softmax loop)
+
+# kinds whose predicate implies j <= i: key blocks past the query chunk (and
+# query chunks before the key block, in the dkv kernel) can be skipped
+_CAUSAL_BOUNDED = ("causal", "multi")
+
+
+def _stream_fwd_kernel(q_ref, k_ref, v_ref,
+                       qattn_ref, qsid_ref, qact_ref, qblk_ref,
+                       kattn_ref, ksid_ref, kact_ref, kblk_ref,
+                       out_ref, lse_ref, *, kind, scale, num_heads):
+    """Grid (B, nQ). q/out blocks [1, QC, H*D]; k/v full rows [1, S, Hkv*D];
+    q-side streams [1, 1, QC] (chunked), k-side streams [1, 1, S] (full).
+    lse_ref [1, num_heads, QC]: per-row logsumexp saved for the backward."""
+    QC = q_ref.shape[1]
+    S = k_ref.shape[1]
+    D = q_ref.shape[2] // num_heads
+    G = num_heads // (k_ref.shape[2] // D)
+    i = pl.program_id(1)
+    r0 = i * QC
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
+    kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
+    k_ok_full, ksid_full = kattn_ref[0, 0], ksid_ref[0, 0]
+    kact_full, kblk_full = kact_ref[0, 0], kblk_ref[0, 0]
+
+    nK = S // _KC
+    if kind in _CAUSAL_BOUNDED:
+        # last key block intersecting j <= max(qpos) = r0 + QC - 1
+        n_blocks = (r0 + QC + _KC - 1) // _KC
+    else:
+        n_blocks = nK
+    for h in range(num_heads):
+        q = q_ref[0, :, h * D:(h + 1) * D]
+        kcol = ((h // G)) * D
+
+        def body(j, carry):
+            m, l, acc = carry
+            j0 = j * _KC
+            k = k_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
+            v = v_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
+            kpos = jax.lax.dynamic_slice_in_dim(kpos_full, j0, _KC)
+            k_ok = jax.lax.dynamic_slice_in_dim(k_ok_full, j0, _KC)
+            ksid = jax.lax.dynamic_slice_in_dim(ksid_full, j0, _KC)
+            kact = jax.lax.dynamic_slice_in_dim(kact_full, j0, _KC)
+            kblk = jax.lax.dynamic_slice_in_dim(kblk_full, j0, _KC)
+            allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
+                                 qblk, kblk, k_ok)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(allowed, s, NEG)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.dot(p.astype(v.dtype), v,
+                                       preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        m0 = jnp.full((QC, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((QC, 1), jnp.float32)
+        a0 = jnp.zeros((QC, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))
+        l_safe = jnp.maximum(l, 1e-30)
+        out_ref[0, :, h * D:(h + 1) * D] = (acc / l_safe).astype(out_ref.dtype)
+        lse_ref[0, h, :] = (m[:, 0] + jnp.log(l_safe[:, 0]))
+
+
+def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+                      qattn_ref, qsid_ref, qact_ref, qblk_ref,
+                      kattn_ref, ksid_ref, kact_ref, kblk_ref,
+                      dq_ref, *, kind, scale, num_heads):
+    """Grid (B, nQ). Recompute P from the saved logsumexp per key block and
+    accumulate dq for the chunk. delta_ref [1, num_heads, QC] = rowsum(dO*O)."""
+    QC = q_ref.shape[1]
+    S = k_ref.shape[1]
+    D = q_ref.shape[2] // num_heads
+    G = num_heads // (k_ref.shape[2] // D)
+    dt = q_ref.dtype
+    i = pl.program_id(1)
+    r0 = i * QC
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
+    kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
+    k_ok_full, ksid_full = kattn_ref[0, 0], ksid_ref[0, 0]
+    kact_full, kblk_full = kact_ref[0, 0], kblk_ref[0, 0]
+
+    if kind in _CAUSAL_BOUNDED:
+        n_blocks = (r0 + QC + _KC - 1) // _KC
+    else:
+        n_blocks = S // _KC
+    for h in range(num_heads):
+        q = q_ref[0, :, h * D:(h + 1) * D]
+        dout = dout_ref[0, :, h * D:(h + 1) * D]
+        lse = lse_ref[0, h, :][:, None]
+        delta = delta_ref[0, h, :][:, None]
+        kcol = (h // G) * D
+
+        def body(j, dq_acc):
+            j0 = j * _KC
+            k = k_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
+            v = v_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
+            kpos = jax.lax.dynamic_slice_in_dim(kpos_full, j0, _KC)
+            k_ok = jax.lax.dynamic_slice_in_dim(k_ok_full, j0, _KC)
+            ksid = jax.lax.dynamic_slice_in_dim(ksid_full, j0, _KC)
+            kact = jax.lax.dynamic_slice_in_dim(kact_full, j0, _KC)
+            kblk = jax.lax.dynamic_slice_in_dim(kblk_full, j0, _KC)
+            allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
+                                 qblk, kblk, k_ok)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(allowed, s, NEG)
+            P = jnp.exp(s - lse)  # [QC, KC] f32
+            dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
+            dS = (P * (dP - delta)).astype(dt)
+            return dq_acc + jnp.dot(dS, k, preferred_element_type=jnp.float32)
+
+        dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((QC, D), jnp.float32))
+        dq_ref[0, :, h * D:(h + 1) * D] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _stream_dkv_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+                       qattn_ref, qsid_ref, qact_ref, qblk_ref,
+                       kattn_ref, ksid_ref, kact_ref, kblk_ref,
+                       dk_ref, dv_ref, *, kind, scale, num_heads, groups):
+    """Grid (B, nK). k/v/dk/dv blocks [1, KC, Hkv*D]; q/dout full rows;
+    k-side streams chunked [1, 1, KC], q-side streams full [1, 1, S].
+    Accumulates dk/dv for the key block over all (relevant) query chunks."""
+    KC = k_ref.shape[1]
+    S = q_ref.shape[1]
+    HD = q_ref.shape[2]
+    D = HD // num_heads
+    dt = q_ref.dtype
+    jk = pl.program_id(1)
+    j0 = jk * KC
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)[:, 0] + j0
+    qpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    k_ok, ksid = kattn_ref[0, 0], ksid_ref[0, 0]
+    kact, kblk = kact_ref[0, 0], kblk_ref[0, 0]
+    qsid_full, qact_full = qsid_ref[0, 0], qact_ref[0, 0]
+    qblk_full = qblk_ref[0, 0]
+
+    nQ = S // _QC
+    i_start = (j0 // _QC) if kind in _CAUSAL_BOUNDED else 0
+    for hk in range(num_heads // groups):
+        k = k_ref[0, :, hk * D:(hk + 1) * D]
+        v = v_ref[0, :, hk * D:(hk + 1) * D]
+        dk_acc = jnp.zeros((KC, D), jnp.float32)
+        dv_acc = jnp.zeros((KC, D), jnp.float32)
+        for g in range(groups):
+            h = hk * groups + g
+            col = h * D
+            lse_full = lse_ref[0, h, :]
+            delta_full = delta_ref[0, h, :]
+
+            def body(i, carry):
+                dk_acc, dv_acc = carry
+                r0 = i * _QC
+                q = q_ref[0, pl.ds(r0, _QC), col:col + D]
+                dout = dout_ref[0, pl.ds(r0, _QC), col:col + D]
+                qpos = jax.lax.dynamic_slice_in_dim(qpos_full, r0, _QC)
+                qsid = jax.lax.dynamic_slice_in_dim(qsid_full, r0, _QC)
+                qact = jax.lax.dynamic_slice_in_dim(qact_full, r0, _QC)
+                qblk = jax.lax.dynamic_slice_in_dim(qblk_full, r0, _QC)
+                lse = jax.lax.dynamic_slice_in_dim(lse_full, r0, _QC)[:, None]
+                delta = jax.lax.dynamic_slice_in_dim(delta_full, r0, _QC)[:, None]
+                allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
+                                     qblk, kblk, k_ok)
+                s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+                s = jnp.where(allowed, s, NEG)
+                P = jnp.exp(s - lse)  # [QC, KC] f32
+                Pd = P.astype(dt)
+                dv_acc = dv_acc + jnp.dot(Pd.T, dout,
+                                          preferred_element_type=jnp.float32)
+                dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
+                dS = (P * (dP - delta)).astype(dt)
+                dk_acc = dk_acc + jnp.dot(dS.T, q,
+                                          preferred_element_type=jnp.float32) * scale
+                return dk_acc, dv_acc
+
+            dk_acc, dv_acc = jax.lax.fori_loop(i_start, nQ, body,
+                                               (dk_acc, dv_acc))
+        dk_ref[0, :, hk * D:(hk + 1) * D] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, hk * D:(hk + 1) * D] = dv_acc.astype(dv_ref.dtype)
+
+
+def _pad_s(x, S_pad, axis=1, fill=0):
+    S = x.shape[axis]
+    if S == S_pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, S_pad - S)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _stream_pad_inputs(q, k, v, attention_mask, session_ids, actions, block_ids):
+    """Pad S to a multiple of the chunk size. Padded keys carry attn=0 (fully
+    masked out); padded query rows produce garbage that the caller slices off
+    (and contribute zero gradient because their dout is zero-padded)."""
+    S = q.shape[1]
+    S_pad = -(-S // _QC) * _QC
+    return (S, S_pad,
+            _pad_s(q, S_pad), _pad_s(k, S_pad), _pad_s(v, S_pad),
+            _pad_s(attention_mask, S_pad), _pad_s(session_ids, S_pad),
+            _pad_s(actions, S_pad), _pad_s(block_ids, S_pad, fill=-1))
+
+
+def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
+                       num_heads, kind, interpret):
+    S, S_pad, q, k, v, attn, sid, act, blk = _stream_pad_inputs(
+        q, k, v, attention_mask, session_ids, actions, block_ids)
+    B, _, HD = q.shape
+    D = HD // num_heads
+    KW = k.shape[2]
+    nQ = S_pad // _QC
+    kernel = functools.partial(_stream_fwd_kernel, kind=kind, scale=D ** -0.5,
+                               num_heads=num_heads)
+    qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i: (b, i, 0))
+    full = lambda width: pl.BlockSpec((1, S_pad, width), lambda b, i: (b, 0, 0))
+    qstream = pl.BlockSpec((1, 1, _QC), lambda b, i: (b, 0, i))
+    kstream = pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0))
+    streams = _stream_args(attn, sid, act, blk)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[qspec(HD), full(KW), full(KW),
+                  qstream, qstream, qstream, qstream,
+                  kstream, kstream, kstream, kstream],
+        out_specs=(qspec(HD),
+                   pl.BlockSpec((1, num_heads, _QC), lambda b, i: (b, 0, i))),
+        out_shape=(jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, num_heads, S_pad), jnp.float32)),
+        interpret=interpret,
+    )(q, k, v, *streams, *streams)
+    return out[:, :S], lse
+
+
+def _bwd_streaming(q, k, v, dout, out, lse, attention_mask, session_ids,
+                   actions, block_ids, num_heads, kind, interpret):
+    S, S_pad, q, k, v, attn, sid, act, blk = _stream_pad_inputs(
+        q, k, v, attention_mask, session_ids, actions, block_ids)
+    dout = _pad_s(dout, S_pad)
+    lse = _pad_s(lse, S_pad, axis=2)
+    B, _, HD = q.shape
+    D = HD // num_heads
+    KW = k.shape[2]
+    Hkv = KW // D
+    G = num_heads // Hkv
+    nQ = S_pad // _QC
+    nK = S_pad // _KC
+    # delta_i = rowsum(dO_i * O_i) per head — tiny fused XLA reduce
+    delta = (dout.astype(jnp.float32)
+             * _pad_s(out, S_pad).astype(jnp.float32)).reshape(
+        B, S_pad, num_heads, D).sum(-1).transpose(0, 2, 1)  # [B, H, S_pad]
+
+    qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i: (b, i, 0))
+    kspec = lambda width: pl.BlockSpec((1, _KC, width), lambda b, j: (b, j, 0))
+    fullq = lambda width: pl.BlockSpec((1, S_pad, width), lambda b, i: (b, 0, 0))
+    qrow = pl.BlockSpec((1, num_heads, _QC), lambda b, i: (b, 0, i))
+    fullrow = pl.BlockSpec((1, num_heads, S_pad), lambda b, i: (b, 0, 0))
+    qstream_c = pl.BlockSpec((1, 1, _QC), lambda b, i: (b, 0, i))
+    kstream_c = pl.BlockSpec((1, 1, _KC), lambda b, j: (b, 0, j))
+    stream_f = pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0))
+    streams = _stream_args(attn, sid, act, blk)
+
+    dq = pl.pallas_call(
+        functools.partial(_stream_dq_kernel, kind=kind, scale=D ** -0.5,
+                          num_heads=num_heads),
+        grid=(B, nQ),
+        in_specs=[qspec(HD), fullq(KW), fullq(KW), qspec(HD), qrow, qrow,
+                  qstream_c, qstream_c, qstream_c, qstream_c,
+                  stream_f, stream_f, stream_f, stream_f],
+        out_specs=qspec(HD),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
+        interpret=interpret,
+    )(q, k, v, dout, lse, delta, *streams, *streams)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_stream_dkv_kernel, kind=kind, scale=D ** -0.5,
+                          num_heads=num_heads, groups=G),
+        grid=(B, nK),
+        in_specs=[fullq(HD), kspec(KW), kspec(KW), fullq(HD), fullrow, fullrow,
+                  stream_f, stream_f, stream_f, stream_f,
+                  kstream_c, kstream_c, kstream_c, kstream_c],
+        out_specs=(kspec(KW), kspec(KW)),
+        out_shape=(jax.ShapeDtypeStruct((B, S_pad, KW), k.dtype),
+                   jax.ShapeDtypeStruct((B, S_pad, KW), v.dtype)),
+        interpret=interpret,
+    )(q, k, v, dout, lse, delta, *streams, *streams)
+    return dq[:, :S], dk[:, :S], dv[:, :S]
+
+
 def _stream_args(attention_mask, session_ids, actions, block_ids):
     return (attention_mask.astype(jnp.int32)[:, None, :],
             session_ids.astype(jnp.int32)[:, None, :],
@@ -164,6 +468,11 @@ def fused_mask_attention(q, k, v, attention_mask, session_ids, actions, block_id
 def _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
              num_heads, kind, interpret):
     B, S, HD = q.shape
+    if S > MONO_MAX:
+        out, _ = _forward_streaming(q, k, v, attention_mask, session_ids,
+                                    actions, block_ids, num_heads, kind,
+                                    interpret)
+        return out
     D = HD // num_heads
     kernel = functools.partial(_fwd_kernel, kind=kind, scale=D ** -0.5,
                                num_heads=num_heads)
@@ -181,13 +490,25 @@ def _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
 
 def _fwd_rule(q, k, v, attention_mask, session_ids, actions, block_ids,
               num_heads, kind, interpret):
+    if q.shape[1] > MONO_MAX:
+        out, lse = _forward_streaming(q, k, v, attention_mask, session_ids,
+                                      actions, block_ids, num_heads, kind,
+                                      interpret)
+        return out, (q, k, v, attention_mask, session_ids, actions, block_ids,
+                     out, lse)
     out = _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
                    num_heads, kind, interpret)
-    return out, (q, k, v, attention_mask, session_ids, actions, block_ids)
+    return out, (q, k, v, attention_mask, session_ids, actions, block_ids,
+                 None, None)
 
 
 def _bwd_rule(num_heads, kind, interpret, residuals, dout):
-    q, k, v, attention_mask, session_ids, actions, block_ids = residuals
+    q, k, v, attention_mask, session_ids, actions, block_ids, out, lse = residuals
+    if lse is not None:
+        dq, dk, dv = _bwd_streaming(q, k, v, dout, out, lse, attention_mask,
+                                    session_ids, actions, block_ids,
+                                    num_heads, kind, interpret)
+        return dq, dk, dv, None, None, None, None
     B, S, HD = q.shape
     D = HD // num_heads
     Hkv = k.shape[2] // D

@@ -123,7 +123,7 @@ class TestDecoder(Task):
         g.add_argument("--ckpt_path", type=str, default="./checkpoint")
         g.add_argument("--ckpt_tag", type=str, default="best")
         g.add_argument("--results_file", type=str, default="./results/test_decoder.json")
-        g.add_argument("--test_batch_size", type=int, default=16)
+        g.add_argument("--test_batch_size", type=int, default=128)
         g.add_argument("--num_beams", type=int, default=20)
         g.add_argument("--metrics", type=str,
                        default="hit@1,hit@5,hit@10,recall@1,recall@5,recall@10,ndcg@5,ndcg@10")

@@ -49,7 +49,7 @@ class TestSMBDecoder(Task):
         g.add_argument("--ckpt_tag", type=str, default="best",
                        help="best | last | epoch_<N>")
         g.add_argument("--results_file", type=str, default="./results/test.json")
-        g.add_argument("--test_batch_size", type=int, default=16)
+        g.add_argument("--test_batch_size", type=int, default=128)
         g.add_argument("--num_beams", type=int, default=20)
         g.add_argument("--metrics", type=str,
                        default="hit@1,hit@5,hit@10,recall@1,recall@5,recall@10,ndcg@5,ndcg@10")
@@ -98,23 +98,31 @@ class TestSMBDecoder(Task):
             self._search = make_beam_search_fn(model, trie, search_cfg)
 
         collision = self._collision_report(corpus, data.test)
+        # ONE mixed-behavior example stream -> one batched search dispatch per
+        # chunk (behavior ids/tokens are per-row traced args, so all behaviors
+        # share a single executable AND a single padded tail instead of one
+        # per behavior; the reference loops whole eval passes per behavior,
+        # ref test_SMB_decoder.py:362-380)
+        rows: list[tuple[str, int, object]] = []
+        for behavior in behaviors:
+            b_idx = corpus.behavior_names.index(behavior)
+            for ex in filter_examples_by_behavior(
+                    data.test, b_idx, corpus.target_behavior_idx):
+                rows.append((behavior, b_idx, ex))
+        acc = self._eval_mixed(cfg, params, corpus, vocab, trie, rows,
+                               behaviors, test_batch_size, metric_list)
         per_behavior: dict[str, dict] = {}
         counts: dict[str, int] = {}
         dup_ratios: dict[str, float] = {}
         for behavior in behaviors:
-            b_idx = corpus.behavior_names.index(behavior)
-            examples = filter_examples_by_behavior(
-                data.test, b_idx, corpus.target_behavior_idx)
-            if not examples:
+            a = acc[behavior]
+            if not a["count"]:
                 continue
-            res = self._eval_behavior(model, cfg, params, corpus, vocab, trie,
-                                      examples, behavior, b_idx, num_beams,
-                                      test_batch_size, metric_list, cache_dtype)
-            per_behavior[behavior] = res["metrics"]
-            counts[behavior] = res["count"]
-            dup_ratios[behavior] = res["duplicate_ratio"]
-            logger.info("behavior %s (%d examples): %s", behavior, res["count"],
-                        {k: round(v / res["count"], 4) for k, v in res["metrics"].items()})
+            per_behavior[behavior] = a["totals"]
+            counts[behavior] = a["count"]
+            dup_ratios[behavior] = a["dup_sum"] / max(a["dup_n"], 1)
+            logger.info("behavior %s (%d examples): %s", behavior, a["count"],
+                        {k: round(v / a["count"], 4) for k, v in a["totals"].items()})
 
         merged = merge_behavior_metrics(per_behavior, counts)
         results = {
@@ -136,74 +144,87 @@ class TestSMBDecoder(Task):
 
     # ------------------------------------------------------------------ eval
 
-    def _eval_behavior(self, model, cfg, params, corpus, vocab, trie, examples,
-                       behavior, b_idx, num_beams, batch_size, metric_list,
-                       cache_dtype):
-        from gamer_tpu.data.batching import EncDecBatcher
-        from gamer_tpu.decode.beam import constrained_beam_search_encdec
-        from gamer_tpu.data.vocab import EOS_ID
+    def _eval_mixed(self, cfg, params, corpus, vocab, trie, rows, behaviors,
+                    batch_size, metric_list):
+        """Evaluate a mixed-behavior row stream ((behavior, b_idx, example)
+        tuples) in single-dispatch batches; returns per-behavior accumulators
+        {totals, count, dup_sum, dup_n}."""
+        import jax.numpy as jnp
 
         family = getattr(self, "family", "decoder_only")
-        # multi-host eval: stride examples across processes and sum the metric
-        # tensors at the end (replaces the reference's all_gather_object of
-        # pickled python lists, ref :232-255 / SURVEY.md 2.9)
+        # multi-host eval: stride rows across processes and sum fixed-shape
+        # metric tensors at the end (replaces the reference's all_gather_object
+        # of pickled python lists, ref :232-255 / SURVEY.md 2.9)
         n_proc = jax.process_count()
         if n_proc > 1:
-            examples = examples[jax.process_index()::n_proc]
-        btok = vocab.behavior_token(behavior)
-        level = int(corpus.behavior_levels[b_idx])
-        beh_emb_id = b_idx + 1
+            rows = rows[jax.process_index()::n_proc]
         L = trie.num_levels
-        batcher = self._batcher  # shared across behaviors: one compile
-        if family == "encdec":
-            # decoder seeded with [start, behavior_token] (ref :188-195)
-            prefix = np.asarray([cfg.decoder_start_token_id, btok], np.int32)
+        batcher = self._batcher
+        acc = {b: {"totals": {m: 0.0 for m in metric_list}, "count": 0,
+                   "dup_sum": 0.0, "dup_n": 0} for b in behaviors}
 
-        totals: dict[str, float] = {m: 0.0 for m in metric_list}
-        count = 0
-        dup_sum, dup_n = 0.0, 0
-
-        for batch_ex in _chunks(examples, batch_size):
-            n_real = len(batch_ex)
+        for batch_rows in _chunks(rows, batch_size):
+            n_real = len(batch_rows)
             if n_real < batch_size:  # pad to static shape for jit
-                batch_ex = list(batch_ex) + [batch_ex[0]] * (batch_size - n_real)
+                batch_rows = list(batch_rows) + [batch_rows[0]] * (batch_size - n_real)
+            ex_list = [r[2] for r in batch_rows]
+            btoks = np.asarray([vocab.behavior_token(r[0]) for r in batch_rows],
+                               np.int32)
             if family == "encdec":
-                batch = batcher.collate(batch_ex)
-                codes, scores = self._search(params, _to_jnp(batch), prefix)
+                # decoder seeded with [start, behavior_token] per row (ref :188-195)
+                prefix = np.stack([np.full(len(btoks), cfg.decoder_start_token_id,
+                                           np.int32), btoks], axis=1)
+                batch = batcher.collate(ex_list)
+                codes, scores = self._search(params, _to_jnp(batch), jnp.asarray(prefix))
             else:
-                batch = batcher.collate(batch_ex, append_behavior_token=btok,
-                                        append_action_level=level)
-                codes, scores = self._search(params, _to_jnp(batch), beh_emb_id)
+                levels = np.asarray([int(corpus.behavior_levels[r[1]])
+                                     for r in batch_rows], np.int32)
+                beh_emb_ids = np.asarray([r[1] + 1 for r in batch_rows], np.int32)
+                batch = batcher.collate(ex_list, append_behavior_token=btoks,
+                                        append_action_level=levels)
+                codes, scores = self._search(params, _to_jnp(batch),
+                                             jnp.asarray(beh_emb_ids))
             codes = np.asarray(codes)[:n_real]  # [B, K, L] 0-based level codes
-            batch_ex = batch_ex[:n_real]
+            batch_rows = batch_rows[:n_real]
             # targets: strip the behavior token column -> per-level codes
             target_codes = [
-                vocab.decode_tokens(_item_cols(ex.targets, corpus, L))
-                for ex in batch_ex
+                vocab.decode_tokens(_item_cols(r[2].targets, corpus, L))
+                for r in batch_rows
             ]
             hits, n_targets = hits_matrix(codes, target_codes)
-            batch_metrics = metrics_from_hits(hits, n_targets, metric_list)
-            for k, v in batch_metrics.items():
-                totals[k] += v
-            count += len(batch_ex)
+            row_behaviors = np.asarray([r[0] for r in batch_rows])
+            for behavior in set(row_behaviors.tolist()):
+                mask = row_behaviors == behavior
+                bm = metrics_from_hits(hits[mask], n_targets[mask], metric_list)
+                a = acc[behavior]
+                for k, v in bm.items():
+                    a["totals"][k] += v
+                a["count"] += int(mask.sum())
             # duplicate-vs-history ratio (ref :217-223)
-            for i, ex in enumerate(batch_ex):
+            for i, (behavior, _, ex) in enumerate(batch_rows):
                 hist = {tuple(r) for r in vocab.decode_tokens(
                     corpus.item_codes[corpus.item_rows(ex.history_item_ids)]).tolist()}
                 gen = {tuple(r) for r in codes[i].tolist()}
-                dup_sum += len(gen & hist) / max(len(gen), 1)
-                dup_n += 1
+                acc[behavior]["dup_sum"] += len(gen & hist) / max(len(gen), 1)
+                acc[behavior]["dup_n"] += 1
+
         if n_proc > 1:
             from jax.experimental import multihost_utils
 
-            vec = np.array([totals[m] for m in metric_list] +
-                           [count, dup_sum, dup_n], dtype=np.float64)
+            M = len(metric_list)
+            vec = np.zeros((len(behaviors), M + 3), np.float64)
+            for j, b in enumerate(behaviors):
+                a = acc[b]
+                vec[j, :M] = [a["totals"][m] for m in metric_list]
+                vec[j, M:] = [a["count"], a["dup_sum"], a["dup_n"]]
             summed = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
-            totals = {m: float(summed[i]) for i, m in enumerate(metric_list)}
-            count = int(summed[len(metric_list)])
-            dup_sum, dup_n = summed[-2], summed[-1]
-        return {"metrics": totals, "count": count,
-                "duplicate_ratio": dup_sum / max(dup_n, 1)}
+            for j, b in enumerate(behaviors):
+                acc[b] = {"totals": {m: float(summed[j, i])
+                                     for i, m in enumerate(metric_list)},
+                          "count": int(summed[j, M]),
+                          "dup_sum": float(summed[j, M + 1]),
+                          "dup_n": int(summed[j, M + 2])}
+        return acc
 
     def _valid_loss(self, model, cfg, params, dataset, data_path, max_his_len,
                     index_file, results_file):

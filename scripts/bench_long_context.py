@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Long-context check: flagship train step at S≈2048 via the streaming
+attention kernels + remat, and confirmation that the S=505 config is
+unaffected. Run on the real TPU chip.
+
+VERDICT item 4 "done" criterion: S=2048 flagship step compiles and trains
+on-chip at B>=64, S<=1024 perf unchanged.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+WARMUP = 2
+STEPS_LO = 3
+STEPS_HI = 15
+
+
+def probe():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256))
+    v = float(np.asarray(jnp.dot(x, x).sum()))
+    print(f"probe ok: {v:.0f} on {jax.devices()}", flush=True)
+
+
+def bench(tag, blocks, batch, remat, dropout=0.2):
+    import jax
+    import optax
+
+    from __graft_entry__ import _flagship_config, _make_batch
+    from gamer_tpu.models.generative.qwen_family import (
+        QwenFamilyModel, prepare_train_inputs)
+    from gamer_tpu.modules.losses import causal_lm_loss
+    from gamer_tpu.train.state import OptimizerConfig, make_optimizer
+
+    cfg = _flagship_config()
+    cfg = cfg.replace(dtype="bfloat16", dropout_rate=dropout,
+                      attention_impl="pallas", remat=remat,
+                      model_max_length=4096)
+    model = QwenFamilyModel(cfg)
+    rng = np.random.default_rng(0)
+    batch_data = _make_batch(cfg, batch, blocks, rng)
+    S = batch_data["input_ids"].shape[1]
+    key = jax.random.key(0, impl="unsafe_rbg")
+
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), **prepare_train_inputs(cfg, batch_data)))()
+    tx = make_optimizer(OptimizerConfig(total_steps=10_000))
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, b, step):
+        def loss_fn(v):
+            inputs = prepare_train_inputs(cfg, b)
+            out = model.apply(v, **inputs, route_mode="periodic",
+                              deterministic=dropout == 0.0,
+                              rngs=None if dropout == 0.0 else
+                              {"dropout": jax.random.fold_in(key, step)})
+            return causal_lm_loss(out["logits"], b["labels"], cfg.temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, loss
+
+    step_no = 0
+
+    def run(n):
+        nonlocal variables, opt_state, step_no
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            variables, opt_state, loss = train_step(
+                variables, opt_state, batch_data, step_no)
+            step_no += 1
+        lv = float(np.asarray(loss))
+        assert np.isfinite(lv), f"{tag}: non-finite loss {lv}"
+        return time.perf_counter() - t0, lv
+
+    for _ in range(WARMUP):
+        _, lv = run(1)
+    t_lo = min(run(STEPS_LO)[0] for _ in range(2))
+    t_hi = min(run(STEPS_HI)[0] for _ in range(2))
+    per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
+    seqs = batch / per_step
+    toks = seqs * S
+    print(f"{tag}: S={S} B={batch} remat={remat} -> {per_step * 1e3:.1f} ms/step, "
+          f"{seqs:.0f} seq/s, {toks / 1e3:.0f}k tok/s, loss {lv:.3f}", flush=True)
+    return seqs
+
+
+def main():
+    probe()
+    bench("flagship S=505 (regression check)", blocks=101, batch=64, remat=False)
+    bench("long-context S=2045->2048", blocks=409, batch=64, remat=True)
+    bench("long-context S=4090->4096", blocks=818, batch=16, remat=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 : ${tasks:=smb_explicit_decoder_4}
 : ${test_task:=smb_explicit}
 : ${num_beams:=20}
-: ${test_batch_size:=16}
+: ${test_batch_size:=128}
 : ${max_his_len:=100}
 : ${ckpt_path:=./checkpoint/${dataset}/${backbone}-${tasks}-${tok_tag}}
 : ${results_file:=./results/${dataset}/${backbone}-${tasks}-${tok_tag}-${test_task}.json}
