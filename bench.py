@@ -49,12 +49,19 @@ def main():
     # (the jnp path materializes [B,H,S,S] fp32 scores in HBM). An earlier A/B
     # concluded the opposite because block_until_ready does not sync through
     # the axon tunnel and was timing dispatch rate.
+    #
+    # This is the SHIPPED train_SMB_decoder config: bf16 (--dtype auto on
+    # TPU), dropout 0.2 (the model default, ref flagship config.json), pallas
+    # attention, rbg dropout keys (train/loop.py). Round 1 benched dropout 0;
+    # the measured dropout cost at the rbg impl is ~8% (docs/benchmarks.md
+    # "Dropout path").
     cfg = _flagship_config()
-    cfg = cfg.replace(dtype="bfloat16", dropout_rate=0.0,
+    cfg = cfg.replace(dtype="bfloat16", dropout_rate=0.2,
                       attention_impl="pallas")
     model = QwenFamilyModel(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, BATCH, BLOCKS, rng)
+    dropout_key = jax.random.key(0, impl="unsafe_rbg")
 
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), **prepare_train_inputs(cfg, batch)))()
@@ -62,10 +69,12 @@ def main():
     opt_state = tx.init(variables)
 
     @jax.jit
-    def train_step(variables, opt_state, batch):
+    def train_step(variables, opt_state, batch, step):
         def loss_fn(v):
             inputs = prepare_train_inputs(cfg, batch)
-            out = model.apply(v, **inputs, route_mode="periodic")
+            out = model.apply(v, **inputs, route_mode="periodic",
+                              deterministic=False,
+                              rngs={"dropout": jax.random.fold_in(dropout_key, step)})
             return causal_lm_loss(out["logits"], batch["labels"], cfg.temperature)
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
@@ -73,20 +82,27 @@ def main():
         variables = optax.apply_updates(variables, updates)
         return variables, opt_state, loss
 
+    step_no = 0
+
+    def _step():
+        nonlocal variables, opt_state, step_no
+        variables, opt_state, loss = train_step(variables, opt_state, batch, step_no)
+        step_no += 1
+        return loss
+
     for _ in range(WARMUP):
-        variables, opt_state, loss = train_step(variables, opt_state, batch)
+        loss = _step()
     float(np.asarray(loss))  # host transfer: the only real sync through axon
 
     # jax.block_until_ready does NOT synchronize through the axon tunnel and a
     # host transfer has a fixed overhead, so: time two step counts to a host
     # sync and slope-fit the per-step cost (overhead cancels).
     def window(n):
-        nonlocal variables, opt_state
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(n):
-                variables, opt_state, loss = train_step(variables, opt_state, batch)
+                loss = _step()
             float(np.asarray(loss))
             best = min(best, time.perf_counter() - t0)
         return best

@@ -150,6 +150,9 @@ MONO_MAX = 1024  # monolithic kernels above handle S <= MONO_MAX
 STREAM_MAX = 4096  # streaming kernels keep full-row k/v (+q in dkv) in VMEM
 _QC = 512  # query-chunk rows (grid dim)
 _KC = 512  # key-block columns (inner online-softmax loop)
+# dkv kernel holds FULL q/dout rows in VMEM on top of its tiles; a smaller
+# inner query chunk keeps its peak under the 16MB scoped-vmem limit at S=4096
+_QC_DKV = 256
 
 # kinds whose predicate implies j <= i: key blocks past the query chunk (and
 # query chunks before the key block, in the dkv kernel) can be skipped
@@ -172,8 +175,6 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
     kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
-    k_ok_full, ksid_full = kattn_ref[0, 0], ksid_ref[0, 0]
-    kact_full, kblk_full = kact_ref[0, 0], kblk_ref[0, 0]
 
     nK = S // _KC
     if kind in _CAUSAL_BOUNDED:
@@ -190,11 +191,11 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref,
             j0 = j * _KC
             k = k_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
             v = v_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
-            kpos = jax.lax.dynamic_slice_in_dim(kpos_full, j0, _KC)
-            k_ok = jax.lax.dynamic_slice_in_dim(k_ok_full, j0, _KC)
-            ksid = jax.lax.dynamic_slice_in_dim(ksid_full, j0, _KC)
-            kact = jax.lax.dynamic_slice_in_dim(kact_full, j0, _KC)
-            kblk = jax.lax.dynamic_slice_in_dim(kblk_full, j0, _KC)
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (_KC, 1), 0)[:, 0] + j0
+            k_ok = kattn_ref[0, 0, pl.ds(j0, _KC)]
+            ksid = ksid_ref[0, 0, pl.ds(j0, _KC)]
+            kact = kact_ref[0, 0, pl.ds(j0, _KC)]
+            kblk = kblk_ref[0, 0, pl.ds(j0, _KC)]
             allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
                                  qblk, kblk, k_ok)
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -232,8 +233,6 @@ def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
     kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
-    k_ok_full, ksid_full = kattn_ref[0, 0], ksid_ref[0, 0]
-    kact_full, kblk_full = kact_ref[0, 0], kblk_ref[0, 0]
 
     if kind in _CAUSAL_BOUNDED:
         n_blocks = (r0 + QC + _KC - 1) // _KC
@@ -250,11 +249,11 @@ def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
             j0 = j * _KC
             k = k_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
             v = v_ref[0, pl.ds(j0, _KC), kcol:kcol + D]
-            kpos = jax.lax.dynamic_slice_in_dim(kpos_full, j0, _KC)
-            k_ok = jax.lax.dynamic_slice_in_dim(k_ok_full, j0, _KC)
-            ksid = jax.lax.dynamic_slice_in_dim(ksid_full, j0, _KC)
-            kact = jax.lax.dynamic_slice_in_dim(kact_full, j0, _KC)
-            kblk = jax.lax.dynamic_slice_in_dim(kblk_full, j0, _KC)
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (_KC, 1), 0)[:, 0] + j0
+            k_ok = kattn_ref[0, 0, pl.ds(j0, _KC)]
+            ksid = ksid_ref[0, 0, pl.ds(j0, _KC)]
+            kact = kact_ref[0, 0, pl.ds(j0, _KC)]
+            kblk = kblk_ref[0, 0, pl.ds(j0, _KC)]
             allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
                                  qblk, kblk, k_ok)
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -283,14 +282,11 @@ def _stream_dkv_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
     jk = pl.program_id(1)
     j0 = jk * KC
     kpos = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)[:, 0] + j0
-    qpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     k_ok, ksid = kattn_ref[0, 0], ksid_ref[0, 0]
     kact, kblk = kact_ref[0, 0], kblk_ref[0, 0]
-    qsid_full, qact_full = qsid_ref[0, 0], qact_ref[0, 0]
-    qblk_full = qblk_ref[0, 0]
 
-    nQ = S // _QC
-    i_start = (j0 // _QC) if kind in _CAUSAL_BOUNDED else 0
+    nQ = S // _QC_DKV
+    i_start = (j0 // _QC_DKV) if kind in _CAUSAL_BOUNDED else 0
     for hk in range(num_heads // groups):
         k = k_ref[0, :, hk * D:(hk + 1) * D]
         v = v_ref[0, :, hk * D:(hk + 1) * D]
@@ -299,20 +295,17 @@ def _stream_dkv_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
         for g in range(groups):
             h = hk * groups + g
             col = h * D
-            lse_full = lse_ref[0, h, :]
-            delta_full = delta_ref[0, h, :]
-
             def body(i, carry):
                 dk_acc, dv_acc = carry
-                r0 = i * _QC
-                q = q_ref[0, pl.ds(r0, _QC), col:col + D]
-                dout = dout_ref[0, pl.ds(r0, _QC), col:col + D]
-                qpos = jax.lax.dynamic_slice_in_dim(qpos_full, r0, _QC)
-                qsid = jax.lax.dynamic_slice_in_dim(qsid_full, r0, _QC)
-                qact = jax.lax.dynamic_slice_in_dim(qact_full, r0, _QC)
-                qblk = jax.lax.dynamic_slice_in_dim(qblk_full, r0, _QC)
-                lse = jax.lax.dynamic_slice_in_dim(lse_full, r0, _QC)[:, None]
-                delta = jax.lax.dynamic_slice_in_dim(delta_full, r0, _QC)[:, None]
+                r0 = i * _QC_DKV
+                q = q_ref[0, pl.ds(r0, _QC_DKV), col:col + D]
+                dout = dout_ref[0, pl.ds(r0, _QC_DKV), col:col + D]
+                qpos = jax.lax.broadcasted_iota(jnp.int32, (_QC_DKV, 1), 0)[:, 0] + r0
+                qsid = qsid_ref[0, 0, pl.ds(r0, _QC_DKV)]
+                qact = qact_ref[0, 0, pl.ds(r0, _QC_DKV)]
+                qblk = qblk_ref[0, 0, pl.ds(r0, _QC_DKV)]
+                lse = lse_ref[0, h, pl.ds(r0, _QC_DKV)][:, None]
+                delta = delta_ref[0, h, pl.ds(r0, _QC_DKV)][:, None]
                 allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
                                      qblk, kblk, k_ok)
                 s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -347,7 +340,8 @@ def _stream_pad_inputs(q, k, v, attention_mask, session_ids, actions, block_ids)
     masked out); padded query rows produce garbage that the caller slices off
     (and contribute zero gradient because their dout is zero-padded)."""
     S = q.shape[1]
-    S_pad = -(-S // _QC) * _QC
+    chunk = max(_QC, _KC, _QC_DKV)
+    S_pad = -(-S // chunk) * chunk
     return (S, S_pad,
             _pad_s(q, S_pad), _pad_s(k, S_pad), _pad_s(v, S_pad),
             _pad_s(attention_mask, S_pad), _pad_s(session_ids, S_pad),

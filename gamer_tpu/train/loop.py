@@ -158,16 +158,20 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
-            n_steps, loss_sum = 0, 0.0
+            n_steps, loss_acc = 0, None
             for batch in train_batches(epoch):
                 batch = self.ctx.shard_batch(batch)
                 self.state, loss, aux = self._train_step(self.state, batch, self.base_rng)
-                loss_sum += float(loss)
+                # accumulate ON DEVICE: float(loss) here is a host sync every
+                # micro-step — through the TPU tunnel that serializes dispatch
+                # and dominates wall time (CLAUDE.md); one transfer per
+                # log_every_steps / epoch instead
+                loss_acc = loss if loss_acc is None else loss_acc + loss
                 n_steps += 1
                 if self.writer and n_steps % cfg.log_every_steps == 0:
                     self.writer.log({"train/loss": float(loss), "epoch": epoch},
                                     step=int(self.state.step))
-            epoch_loss = loss_sum / max(n_steps, 1)
+            epoch_loss = float(loss_acc) / max(n_steps, 1) if n_steps else 0.0
             dt = time.time() - t0
             logger.info("epoch %d: train loss %.4f (%d steps, %.1fs)", epoch, epoch_loss, n_steps, dt)
 

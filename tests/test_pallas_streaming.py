@@ -22,6 +22,7 @@ def small_chunks(monkeypatch):
     monkeypatch.setattr(PA, "MONO_MAX", 64)
     monkeypatch.setattr(PA, "_QC", 64)
     monkeypatch.setattr(PA, "_KC", 64)
+    monkeypatch.setattr(PA, "_QC_DKV", 32)
 
 
 @pytest.mark.parametrize("kind", ["causal", "session", "multi", "session_multi"])
