@@ -103,6 +103,7 @@ class T5Attention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         shared_kv: Optional[dict] = None,  # beam-shared projected k/v [B, Sk, H, dk]
         emit_kv: bool = False,  # also return projected k/v (to build shared_kv)
+        deterministic: bool = True,
     ):
         cfg = self.cfg
         H, dk = cfg.num_heads, cfg.d_kv
@@ -160,6 +161,13 @@ class T5Attention(nn.Module):
         if allowed is not None:
             scores = scores + jnp.where(allowed, 0.0, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
+        if not deterministic and cfg.dropout_rate > 0.0:
+            # dropout on attention probs (HF T5Attention does the same with
+            # config.dropout_rate during training)
+            thresh = min(int(round(cfg.dropout_rate * 4294967296.0)), 4294967295)
+            bits = jax.random.bits(self.make_rng("dropout"), probs.shape, jnp.uint32)
+            keep_p = (4294967296 - thresh) / 4294967296.0
+            probs = jnp.where(bits >= jnp.uint32(thresh), probs / keep_p, 0.0)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         out = dense(cfg.d_model, "o")(out.reshape(b, sq, inner))
         if emit_kv:
@@ -220,7 +228,8 @@ class EncDecModel(nn.Module):
                 hn = RMSNorm(cfg.layer_norm_epsilon, name=f"encoder_{i}/ln1")(h)
                 a, bias, _ = T5Attention(cfg, has_rel_bias=(i == 0), bidirectional=True,
                                          name=f"encoder_{i}/self_attn")(
-                    hn, allowed=enc_allowed, pos_bias=bias)
+                    hn, allowed=enc_allowed, pos_bias=bias,
+                    deterministic=deterministic)
                 h = r + drop(a)
                 r = h
                 hn = RMSNorm(cfg.layer_norm_epsilon, name=f"encoder_{i}/ln2")(h)
@@ -264,7 +273,7 @@ class EncDecModel(nn.Module):
                 hn, allowed=self_allowed, pos_bias=bias,
                 q_positions=qpos, k_positions=kpos,
                 kv_cache=None if caches is None else caches[i]["self"],
-                cache_index=cache_index)
+                cache_index=cache_index, deterministic=deterministic)
             h = r + drop(a)
             r = h
             hn = RMSNorm(cfg.layer_norm_epsilon, name=f"decoder_{i}/ln2")(h)
@@ -272,7 +281,7 @@ class EncDecModel(nn.Module):
                                     name=f"decoder_{i}/cross_attn")(
                 hn, kv=encoder_hidden, allowed=cross_allowed,
                 shared_kv=None if cross_kv is None else cross_kv[i],
-                emit_kv=emit_cross_kv)
+                emit_kv=emit_cross_kv, deterministic=deterministic)
             h = r + drop(a)
             r = h
             hn = RMSNorm(cfg.layer_norm_epsilon, name=f"decoder_{i}/ln3")(h)

@@ -50,6 +50,10 @@ class QwenFamilyConfig(Config):
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e6
     dropout_rate: float = 0.2
+    # dropout on attention probs (ref config attention_dropout=0.2, applied
+    # inside SDPA during training, Qwen3Multi/model.py:139); -1 = follow
+    # dropout_rate, matching the reference config where both are 0.2
+    attention_dropout: float = -1.0
     attention_bias: bool = False
     hidden_act: str = "silu"
     tie_word_embeddings: bool = True
@@ -84,6 +88,10 @@ class QwenFamilyConfig(Config):
     @property
     def jax_dtype(self):
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def attn_dropout_rate(self) -> float:
+        return self.dropout_rate if self.attention_dropout < 0 else self.attention_dropout
 
     @property
     def total_experts(self) -> int:
@@ -228,11 +236,13 @@ class QwenFamilyModel(nn.Module):
             attention_bias=cfg.attention_bias,
             dtype=dtype,
             attention_impl=cfg.attention_impl,
+            dropout_rate=cfg.attn_dropout_rate,
             name=f"layers_{i}/self_attn",
         )(h, rope_positions, self_allowed,
           kv_cache=None if layer_caches is None else layer_caches["self"],
           cache_index=cache_index,
-          mask_kind=cfg.self_mask_kind, streams=streams)
+          mask_kind=cfg.self_mask_kind, streams=streams,
+          deterministic=deterministic)
         x = residual + drop(attn_out)
 
         new_cross_cache = None
@@ -250,11 +260,13 @@ class QwenFamilyModel(nn.Module):
                 num_behavior=cfg.num_behavior,
                 dtype=dtype,
                 attention_impl=cfg.attention_impl,
+                dropout_rate=cfg.attn_dropout_rate,
                 name=f"layers_{i}/cross_attn",
             )(h, rope_positions, cross_allowed, action_index=action_index,
               kv_cache=None if layer_caches is None else layer_caches["cross"],
               cache_index=cache_index,
-              mask_kind=cfg.cross_mask_kind, streams=streams)
+              mask_kind=cfg.cross_mask_kind, streams=streams,
+              deterministic=deterministic)
             x = residual + drop(cross_out)
 
         residual = x

@@ -63,8 +63,12 @@ def attend(
     v: jnp.ndarray,  # [B, Sk, Hkv, D]
     allowed: jnp.ndarray,  # [B or 1, 1, Sq, Sk] bool
     scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Masked GQA attention core. fp32 softmax for stability; MXU matmuls."""
+    """Masked GQA attention core. fp32 softmax for stability; MXU matmuls.
+    dropout_rate > 0 (training): dropout on the attention probs, matching the
+    reference's SDPA attention_dropout (ref Qwen3Multi/model.py:139)."""
     groups = q.shape[2] // k.shape[2]
     b, sq, h, d = q.shape
     sk, hkv = k.shape[1], k.shape[2]
@@ -73,6 +77,12 @@ def attend(
     bias = jnp.where(allowed[:, :, None], 0.0, NEG_INF)  # [B,1,1,Sq,Sk]
     scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None
+        thresh = min(int(round(dropout_rate * 4294967296.0)), 4294967295)
+        keep = jax.random.bits(dropout_rng, probs.shape, jnp.uint32) >= jnp.uint32(thresh)
+        keep_p = (4294967296 - thresh) / 4294967296.0
+        probs = jnp.where(keep, probs / keep_p, 0.0)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
@@ -159,6 +169,8 @@ class GQAAttention(nn.Module):
     num_behavior: int = 0
     dtype: Any = jnp.float32
     attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret"
+    # attention-prob dropout rate (training only; ref SDPA attention_dropout)
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(
@@ -171,6 +183,7 @@ class GQAAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,  # scalar write offset
         mask_kind: Optional[str] = None,
         streams: Optional[dict] = None,
+        deterministic: bool = True,
     ) -> tuple[jnp.ndarray, Optional[dict]]:
         b, s, d_model = x.shape
         dense = lambda feats, name: nn.Dense(
@@ -237,20 +250,28 @@ class GQAAttention(nn.Module):
             and streams is not None
             and pallas_attention_ok(s)
         )
+        attn_drop = 0.0 if deterministic else self.dropout_rate
         if use_pallas:
             from gamer_tpu.ops.pallas_attention import fused_mask_attention
 
+            seed = (jax.random.randint(self.make_rng("dropout"), (), 0,
+                                       jnp.iinfo(jnp.int32).max, jnp.int32)
+                    if attn_drop > 0.0 else jnp.int32(0))
             # flat head-contiguous layout: reshape is a bitcast, no transposes
             out = fused_mask_attention(
                 q.reshape(b, s, self.num_heads * self.head_dim),
                 k.reshape(b, s, self.num_kv_heads * self.head_dim),
                 v.reshape(b, s, self.num_kv_heads * self.head_dim),
                 streams["attention_mask"], streams["session_ids"],
-                streams["actions"], streams["block_ids"],
+                streams["actions"], streams["block_ids"], seed,
                 self.num_heads, mask_kind, self.attention_impl == "pallas_interpret",
+                attn_drop,
             )
         else:
-            out = attend(q, k, v, allowed, self.head_dim ** -0.5)
+            out = attend(q, k, v, allowed, self.head_dim ** -0.5,
+                         dropout_rate=attn_drop,
+                         dropout_rng=(self.make_rng("dropout")
+                                      if attn_drop > 0.0 else None))
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         out = dense(d_model, "o_proj")(out)
         if self.is_cross:

@@ -29,6 +29,53 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
+# ---------------------------------------------------------------------------
+# Attention-prob dropout (ref applies attention_dropout inside SDPA during
+# training, SeqRec/models/generative/Qwen3Multi/model.py:139). The keep-mask
+# is a STATELESS hash of the element's absolute coordinates — a murmur3-style
+# finalizer over (seed, batch*head, row, col) in plain integer ops. That makes
+# the mask (a) identical between the forward and both backward kernels with no
+# draw-order coupling between their different tilings, (b) identical between
+# interpret (CPU) and compiled (TPU) modes, and (c) reproducible OUTSIDE the
+# kernel for parity tests — none of which holds for the stateful hardware PRNG
+# (pltpu.prng_random_bits), which also has no CPU interpret lowering.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_M3 = np.uint32(0x9E3779B1)
+
+
+def _fmix32(x):
+    """murmur3 finalizer: bijective 32-bit avalanche."""
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 13)
+    x = x * _M2
+    x = x ^ (x >> 16)
+    return x
+
+
+def keep_fraction(rate: float) -> float:
+    """Exact keep probability after uint32 threshold quantization."""
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    return (4294967296 - thresh) / 4294967296.0
+
+
+def dropout_keep_tile(seed, bh, r0, c0, shape, rate: float):
+    """Boolean keep-mask tile for query rows [r0, r0+shape[0]) x key cols
+    [c0, c0+shape[1]) of attention matrix (batch*num_heads + head) == bh.
+    Pure function of absolute coordinates — any tiling draws the same mask."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(r0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(c0)
+    x = (rows * _M3 + cols * _M1
+         + jnp.uint32(bh) * _M2 + jnp.uint32(seed))
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    return _fmix32(x) >= jnp.uint32(thresh)
+
+
 def _mask_tile(kind: str, qpos, kpos, q_sid, k_sid, q_act, k_act, q_blk, k_blk, k_ok):
     """Boolean allowed tile [Sq, Sk] from per-token streams."""
     causal = qpos[:, None] >= kpos[None, :]
@@ -70,28 +117,44 @@ def _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk, rows=None):
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, attn_ref, sid_ref, act_ref, blk_ref,
-                out_ref, *, kind: str, scale: float, num_heads: int):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, attn_ref, sid_ref, act_ref,
+                blk_ref, out_ref, *, kind: str, scale: float, num_heads: int,
+                rate: float):
     """One program per batch element; heads are static column slices of the
-    projection-native [S, H*D] block (one HBM pass, no transposes)."""
+    projection-native [S, H*D] block (one HBM pass, no transposes).
+    rate > 0: attention-prob dropout (training), applied per 256-row chunk so
+    the uint32 hash tile never adds a full [S, S] VMEM tensor."""
     S, HD = q_ref.shape[1], q_ref.shape[2]
     D = HD // num_heads
     G = num_heads // (k_ref.shape[2] // D)
     pos, k_ok, sid, act, blk = _streams_from_refs(attn_ref, sid_ref, act_ref, blk_ref, S)
+    b = pl.program_id(0)
     for h in range(num_heads):
         q = q_ref[0, :, h * D:(h + 1) * D]
         kc = (h // G) * D
         k = k_ref[0, :, kc:kc + D]
         v = v_ref[0, :, kc:kc + D]
-        probs = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk)
-        out_ref[0, :, h * D:(h + 1) * D] = jnp.dot(
-            probs.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        if rate == 0.0:
+            probs = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk)
+            out_ref[0, :, h * D:(h + 1) * D] = jnp.dot(
+                probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        else:
+            inv_keep = 1.0 / keep_fraction(rate)
+            for r0 in range(0, S, 256):
+                r1 = min(S, r0 + 256)
+                P = _masked_probs(kind, q_ref[0, r0:r1, h * D:(h + 1) * D], k,
+                                  scale, pos, k_ok, sid, act, blk, rows=(r0, r1))
+                keep = dropout_keep_tile(seed_ref[0], b * num_heads + h, r0, 0,
+                                         (r1 - r0, S), rate)
+                Pd = jnp.where(keep, P * inv_keep, 0.0).astype(v.dtype)
+                out_ref[0, r0:r1, h * D:(h + 1) * D] = jnp.dot(
+                    Pd, v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref, act_ref, blk_ref,
-                dq_ref, dk_ref, dv_ref, *, kind: str, scale: float,
-                num_heads: int, groups: int):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref,
+                act_ref, blk_ref, dq_ref, dk_ref, dv_ref, *, kind: str,
+                scale: float, num_heads: int, groups: int, rate: float):
     """One program per batch element: loops kv heads x their GQA query group,
     recomputes probs and emits gradients (flash-attention backward math)."""
     S = k_ref.shape[1]
@@ -103,9 +166,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref, act_ref, blk_r
     # fp32 [S,S]; dS is rounded to the input dtype immediately so at most two
     # fp32 [S,S] tensors are ever live (S=1024 OOMs VMEM otherwise).
     dt = q_ref.dtype
+    b = pl.program_id(0)
     # query rows are processed in chunks so only [C, S] score-sized fp32
     # temporaries live in VMEM at once — whole-row backward OOMs at S ~ 1024
-    CHUNK = 512
+    # (the dropout path carries an extra fp32 [C, S], hence the smaller chunk)
+    CHUNK = 512 if rate == 0.0 else 256
+    inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
     for hk in range(num_heads // groups):
         k = k_ref[0, :, hk * D:(hk + 1) * D]
         v = v_ref[0, :, hk * D:(hk + 1) * D]
@@ -119,14 +185,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref, act_ref, blk_r
                 dout = dout_ref[0, r0:r1, col:col + D]
                 P = _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk,
                                   rows=(r0, r1))  # [C, S] f32
-                Pd = P.astype(dt)
+                if rate > 0.0:
+                    keep = dropout_keep_tile(seed_ref[0],
+                                             b * num_heads + hk * groups + g,
+                                             r0, 0, (r1 - r0, S), rate)
+                    # dropped prob matrix: O/dV/Drow see it; softmax bwd keeps
+                    # the undropped P against the row correction
+                    P_use = jnp.where(keep, P * inv_keep, 0.0)
+                else:
+                    P_use = P
+                Pd = P_use.astype(dt)
                 # all uses of P precede dS so its buffer can be reclaimed
                 dv_acc += jnp.dot(Pd.T, dout, preferred_element_type=jnp.float32)
                 Drow = jnp.sum(dout.astype(jnp.float32)
                                * jnp.dot(Pd, v, preferred_element_type=jnp.float32),
                                axis=-1, keepdims=True)
                 dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
-                dS = (P * (dP - Drow)).astype(dt)  # P and dP die here
+                # dS = P*(M/keep*dP - Drow) = P_use*dP - P*Drow
+                dS = (P_use * dP - P * Drow).astype(dt)  # P and dP die here
                 dq_ref[0, r0:r1, col:col + D] = (
                     jnp.dot(dS, k, preferred_element_type=jnp.float32) * scale
                 ).astype(dq_ref.dtype)
@@ -159,10 +235,10 @@ _QC_DKV = 256
 _CAUSAL_BOUNDED = ("causal", "multi")
 
 
-def _stream_fwd_kernel(q_ref, k_ref, v_ref,
+def _stream_fwd_kernel(seed_ref, q_ref, k_ref, v_ref,
                        qattn_ref, qsid_ref, qact_ref, qblk_ref,
                        kattn_ref, ksid_ref, kact_ref, kblk_ref,
-                       out_ref, lse_ref, *, kind, scale, num_heads):
+                       out_ref, lse_ref, *, kind, scale, num_heads, rate):
     """Grid (B, nQ). q/out blocks [1, QC, H*D]; k/v full rows [1, S, Hkv*D];
     q-side streams [1, 1, QC] (chunked), k-side streams [1, 1, S] (full).
     lse_ref [1, num_heads, QC]: per-row logsumexp saved for the backward."""
@@ -170,10 +246,10 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref,
     S = k_ref.shape[1]
     D = q_ref.shape[2] // num_heads
     G = num_heads // (k_ref.shape[2] // D)
+    b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * QC
     qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
-    kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
 
     nK = S // _KC
@@ -203,7 +279,13 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref,
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
+            # l accumulates the UNDROPPED softmax denominator; dropout zeroes
+            # contributions to the numerator only (out is rescaled below)
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if rate > 0.0:
+                keep = dropout_keep_tile(seed_ref[0], b * num_heads + h,
+                                         r0, j0, (QC, _KC), rate)
+                p = jnp.where(keep, p, 0.0)
             acc = acc * corr + jnp.dot(p.astype(v.dtype), v,
                                        preferred_element_type=jnp.float32)
             return m_new, l, acc
@@ -213,14 +295,15 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref,
         a0 = jnp.zeros((QC, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))
         l_safe = jnp.maximum(l, 1e-30)
-        out_ref[0, :, h * D:(h + 1) * D] = (acc / l_safe).astype(out_ref.dtype)
+        inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
+        out_ref[0, :, h * D:(h + 1) * D] = (acc * inv_keep / l_safe).astype(out_ref.dtype)
         lse_ref[0, h, :] = (m[:, 0] + jnp.log(l_safe[:, 0]))
 
 
-def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-                      qattn_ref, qsid_ref, qact_ref, qblk_ref,
+def _stream_dq_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,
+                      delta_ref, qattn_ref, qsid_ref, qact_ref, qblk_ref,
                       kattn_ref, ksid_ref, kact_ref, kblk_ref,
-                      dq_ref, *, kind, scale, num_heads):
+                      dq_ref, *, kind, scale, num_heads, rate):
     """Grid (B, nQ). Recompute P from the saved logsumexp per key block and
     accumulate dq for the chunk. delta_ref [1, num_heads, QC] = rowsum(dO*O)."""
     QC = q_ref.shape[1]
@@ -228,11 +311,12 @@ def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
     D = q_ref.shape[2] // num_heads
     G = num_heads // (k_ref.shape[2] // D)
     dt = q_ref.dtype
+    b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * QC
     qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
-    kpos_full = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
+    inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
 
     if kind in _CAUSAL_BOUNDED:
         n_blocks = (r0 + QC + _KC - 1) // _KC
@@ -260,70 +344,95 @@ def _stream_dq_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
             s = jnp.where(allowed, s, NEG)
             P = jnp.exp(s - lse)  # [QC, KC] f32
             dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
-            dS = (P * (dP - delta)).astype(dt)
+            if rate > 0.0:
+                keep = dropout_keep_tile(seed_ref[0], b * num_heads + h,
+                                         r0, j0, (QC, _KC), rate)
+                P_use = jnp.where(keep, P * inv_keep, 0.0)
+                dS = (P_use * dP - P * delta).astype(dt)
+            else:
+                dS = (P * (dP - delta)).astype(dt)
             return dq_acc + jnp.dot(dS, k, preferred_element_type=jnp.float32)
 
         dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((QC, D), jnp.float32))
         dq_ref[0, :, h * D:(h + 1) * D] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _stream_dkv_kernel(q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-                       qattn_ref, qsid_ref, qact_ref, qblk_ref,
+def _stream_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,
+                       delta_ref, qattn_ref, qsid_ref, qact_ref, qblk_ref,
                        kattn_ref, ksid_ref, kact_ref, kblk_ref,
-                       dk_ref, dv_ref, *, kind, scale, num_heads, groups):
-    """Grid (B, nK). k/v/dk/dv blocks [1, KC, Hkv*D]; q/dout full rows;
-    k-side streams chunked [1, 1, KC], q-side streams full [1, 1, S].
-    Accumulates dk/dv for the key block over all (relevant) query chunks."""
+                       dk_ref, dv_ref, dk_s, dv_s, *, kind, scale, num_heads,
+                       groups, rate):
+    """Grid (B, nK, nQd) — the query-chunk axis is a GRID dimension, not an
+    in-kernel loop: full-row q/dout VMEM residency (double-buffered) blew the
+    16MB scoped-vmem limit at S=4096. dk/dv accumulate in f32 VMEM scratch
+    (persists across the minor-most, sequentially-executed i axis) and are
+    written to the output block — indexed by the key block only — at the last
+    query chunk."""
     KC = k_ref.shape[1]
-    S = q_ref.shape[1]
-    HD = q_ref.shape[2]
-    D = HD // num_heads
+    QCd = q_ref.shape[1]
+    D = q_ref.shape[2] // num_heads
     dt = q_ref.dtype
+    b = pl.program_id(0)
     jk = pl.program_id(1)
+    i = pl.program_id(2)
+    inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
     j0 = jk * KC
+    r0 = i * QCd
     kpos = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)[:, 0] + j0
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (QCd, 1), 0)[:, 0] + r0
     k_ok, ksid = kattn_ref[0, 0], ksid_ref[0, 0]
     kact, kblk = kact_ref[0, 0], kblk_ref[0, 0]
+    qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
 
-    nQ = S // _QC_DKV
-    i_start = (j0 // _QC_DKV) if kind in _CAUSAL_BOUNDED else 0
-    for hk in range(num_heads // groups):
-        k = k_ref[0, :, hk * D:(hk + 1) * D]
-        v = v_ref[0, :, hk * D:(hk + 1) * D]
-        dk_acc = jnp.zeros((KC, D), jnp.float32)
-        dv_acc = jnp.zeros((KC, D), jnp.float32)
-        for g in range(groups):
-            h = hk * groups + g
-            col = h * D
-            def body(i, carry):
-                dk_acc, dv_acc = carry
-                r0 = i * _QC_DKV
-                q = q_ref[0, pl.ds(r0, _QC_DKV), col:col + D]
-                dout = dout_ref[0, pl.ds(r0, _QC_DKV), col:col + D]
-                qpos = jax.lax.broadcasted_iota(jnp.int32, (_QC_DKV, 1), 0)[:, 0] + r0
-                qsid = qsid_ref[0, 0, pl.ds(r0, _QC_DKV)]
-                qact = qact_ref[0, 0, pl.ds(r0, _QC_DKV)]
-                qblk = qblk_ref[0, 0, pl.ds(r0, _QC_DKV)]
-                lse = lse_ref[0, h, pl.ds(r0, _QC_DKV)][:, None]
-                delta = delta_ref[0, h, pl.ds(r0, _QC_DKV)][:, None]
+    @pl.when(i == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    # causal-bounded kinds: query chunks strictly before the key block
+    # contribute nothing — skip their compute (the DMA already happened)
+    relevant = (r0 + QCd - 1 >= j0) if kind in _CAUSAL_BOUNDED else (i >= 0)
+
+    @pl.when(relevant)
+    def _accumulate():
+        for hk in range(num_heads // groups):
+            k = k_ref[0, :, hk * D:(hk + 1) * D]
+            v = v_ref[0, :, hk * D:(hk + 1) * D]
+            dk_acc = jnp.zeros((KC, D), jnp.float32)
+            dv_acc = jnp.zeros((KC, D), jnp.float32)
+            for g in range(groups):
+                h = hk * groups + g
+                col = h * D
+                q = q_ref[0, :, col:col + D]
+                dout = dout_ref[0, :, col:col + D]
+                lse = lse_ref[0, h, :][:, None]
+                delta = delta_ref[0, h, :][:, None]
                 allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
                                      qblk, kblk, k_ok)
                 s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
                 s = jnp.where(allowed, s, NEG)
-                P = jnp.exp(s - lse)  # [QC, KC] f32
-                Pd = P.astype(dt)
+                P = jnp.exp(s - lse)  # [QCd, KC] f32
+                if rate > 0.0:
+                    keep = dropout_keep_tile(seed_ref[0], b * num_heads + h,
+                                             r0, j0, (QCd, KC), rate)
+                    P_use = jnp.where(keep, P * inv_keep, 0.0)
+                else:
+                    P_use = P
+                Pd = P_use.astype(dt)
                 dv_acc = dv_acc + jnp.dot(Pd.T, dout,
                                           preferred_element_type=jnp.float32)
                 dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
-                dS = (P * (dP - delta)).astype(dt)
+                dS = (P_use * dP - P * delta).astype(dt)
                 dk_acc = dk_acc + jnp.dot(dS.T, q,
                                           preferred_element_type=jnp.float32) * scale
-                return dk_acc, dv_acc
+            sl = slice(hk * D, (hk + 1) * D)
+            dk_s[:, sl] = dk_s[:, sl] + dk_acc
+            dv_s[:, sl] = dv_s[:, sl] + dv_acc
 
-            dk_acc, dv_acc = jax.lax.fori_loop(i_start, nQ, body,
-                                               (dk_acc, dv_acc))
-        dk_ref[0, :, hk * D:(hk + 1) * D] = dk_acc.astype(dk_ref.dtype)
-        dv_ref[0, :, hk * D:(hk + 1) * D] = dv_acc.astype(dv_ref.dtype)
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _emit():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
 
 
 def _pad_s(x, S_pad, axis=1, fill=0):
@@ -349,7 +458,7 @@ def _stream_pad_inputs(q, k, v, attention_mask, session_ids, actions, block_ids)
 
 
 def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
-                       num_heads, kind, interpret):
+                       seed, num_heads, kind, interpret, rate):
     S, S_pad, q, k, v, attn, sid, act, blk = _stream_pad_inputs(
         q, k, v, attention_mask, session_ids, actions, block_ids)
     B, _, HD = q.shape
@@ -357,7 +466,7 @@ def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
     KW = k.shape[2]
     nQ = S_pad // _QC
     kernel = functools.partial(_stream_fwd_kernel, kind=kind, scale=D ** -0.5,
-                               num_heads=num_heads)
+                               num_heads=num_heads, rate=rate)
     qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i: (b, i, 0))
     full = lambda width: pl.BlockSpec((1, S_pad, width), lambda b, i: (b, 0, 0))
     qstream = pl.BlockSpec((1, 1, _QC), lambda b, i: (b, 0, i))
@@ -366,7 +475,7 @@ def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, nQ),
-        in_specs=[qspec(HD), full(KW), full(KW),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qspec(HD), full(KW), full(KW),
                   qstream, qstream, qstream, qstream,
                   kstream, kstream, kstream, kstream],
         out_specs=(qspec(HD),
@@ -374,12 +483,12 @@ def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
         out_shape=(jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, num_heads, S_pad), jnp.float32)),
         interpret=interpret,
-    )(q, k, v, *streams, *streams)
+    )(_seed_arr(seed), q, k, v, *streams, *streams)
     return out[:, :S], lse
 
 
 def _bwd_streaming(q, k, v, dout, out, lse, attention_mask, session_ids,
-                   actions, block_ids, num_heads, kind, interpret):
+                   actions, block_ids, seed, num_heads, kind, interpret, rate):
     S, S_pad, q, k, v, attn, sid, act, blk = _stream_pad_inputs(
         q, k, v, attention_mask, session_ids, actions, block_ids)
     dout = _pad_s(dout, S_pad)
@@ -397,40 +506,56 @@ def _bwd_streaming(q, k, v, dout, out, lse, attention_mask, session_ids,
         B, S_pad, num_heads, D).sum(-1).transpose(0, 2, 1)  # [B, H, S_pad]
 
     qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i: (b, i, 0))
-    kspec = lambda width: pl.BlockSpec((1, _KC, width), lambda b, j: (b, j, 0))
     fullq = lambda width: pl.BlockSpec((1, S_pad, width), lambda b, i: (b, 0, 0))
     qrow = pl.BlockSpec((1, num_heads, _QC), lambda b, i: (b, 0, i))
-    fullrow = pl.BlockSpec((1, num_heads, S_pad), lambda b, i: (b, 0, 0))
     qstream_c = pl.BlockSpec((1, 1, _QC), lambda b, i: (b, 0, i))
-    kstream_c = pl.BlockSpec((1, 1, _KC), lambda b, j: (b, 0, j))
     stream_f = pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0))
     streams = _stream_args(attn, sid, act, blk)
 
     dq = pl.pallas_call(
         functools.partial(_stream_dq_kernel, kind=kind, scale=D ** -0.5,
-                          num_heads=num_heads),
+                          num_heads=num_heads, rate=rate),
         grid=(B, nQ),
-        in_specs=[qspec(HD), fullq(KW), fullq(KW), qspec(HD), qrow, qrow,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qspec(HD), fullq(KW), fullq(KW), qspec(HD),
+                  qrow, qrow,
                   qstream_c, qstream_c, qstream_c, qstream_c,
                   stream_f, stream_f, stream_f, stream_f],
         out_specs=qspec(HD),
         out_shape=jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
         interpret=interpret,
-    )(q, k, v, dout, lse, delta, *streams, *streams)
+    )(_seed_arr(seed), q, k, v, dout, lse, delta, *streams, *streams)
 
+    # dkv: 3D grid — q-side operands arrive as [QC_DKV] chunks along the
+    # minor-most axis; dk/dv accumulate in f32 scratch across it
+    nQd = S_pad // _QC_DKV
+    qspec_d = lambda width: pl.BlockSpec((1, _QC_DKV, width),
+                                         lambda b, j, i: (b, i, 0))
+    kspec_d = lambda width: pl.BlockSpec((1, _KC, width),
+                                         lambda b, j, i: (b, j, 0))
+    qrow_d = pl.BlockSpec((1, num_heads, _QC_DKV), lambda b, j, i: (b, 0, i))
+    qstream_d = pl.BlockSpec((1, 1, _QC_DKV), lambda b, j, i: (b, 0, i))
+    kstream_d = pl.BlockSpec((1, 1, _KC), lambda b, j, i: (b, 0, j))
     dk, dv = pl.pallas_call(
         functools.partial(_stream_dkv_kernel, kind=kind, scale=D ** -0.5,
-                          num_heads=num_heads, groups=G),
-        grid=(B, nK),
-        in_specs=[fullq(HD), kspec(KW), kspec(KW), fullq(HD), fullrow, fullrow,
-                  stream_f, stream_f, stream_f, stream_f,
-                  kstream_c, kstream_c, kstream_c, kstream_c],
-        out_specs=(kspec(KW), kspec(KW)),
+                          num_heads=num_heads, groups=G, rate=rate),
+        grid=(B, nK, nQd),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qspec_d(HD), kspec_d(KW), kspec_d(KW), qspec_d(HD),
+                  qrow_d, qrow_d,
+                  qstream_d, qstream_d, qstream_d, qstream_d,
+                  kstream_d, kstream_d, kstream_d, kstream_d],
+        out_specs=(kspec_d(KW), kspec_d(KW)),
         out_shape=(jax.ShapeDtypeStruct((B, S_pad, KW), k.dtype),
                    jax.ShapeDtypeStruct((B, S_pad, KW), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((_KC, KW), jnp.float32),
+                        pltpu.VMEM((_KC, KW), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, dout, lse, delta, *streams, *streams)
+    )(_seed_arr(seed), q, k, v, dout, lse, delta, *streams, *streams)
     return dq[:, :S], dk[:, :S], dv[:, :S]
+
+
+def _seed_arr(seed):
+    """Scalar dropout seed as a [1] int32 SMEM operand."""
+    return jnp.asarray(seed, jnp.int32).reshape(1)
 
 
 def _stream_args(attention_mask, session_ids, actions, block_ids):
@@ -444,85 +569,96 @@ def _stream_spec(S):
     return pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def fused_mask_attention(q, k, v, attention_mask, session_ids, actions, block_ids,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_mask_attention(q, k, v, attention_mask, session_ids, actions,
+                         block_ids, dropout_seed,
                          num_heads: int, kind: str = "causal",
-                         interpret: bool = False):
+                         interpret: bool = False, dropout_rate: float = 0.0):
     """q [B, S, H*D] (projection-native layout, head h = columns [h*D,(h+1)*D)),
     k/v [B, S, Hkv*D] -> out [B, S, H*D].
 
     Taking the flat head-contiguous layout lets the BlockSpec index map slice
     one head per program as contiguous lanes — no [B,H,S,D] transpose copies on
     either side of the kernel. Masks are evaluated inside the kernel from the
-    integer streams (all [B, S])."""
+    integer streams (all [B, S]).
+
+    `dropout_rate` > 0 applies attention-prob dropout inside the kernel
+    (training path; ref SDPA attention_dropout, Qwen3Multi/model.py:139) with
+    the stateless hash mask keyed on `dropout_seed` — both backward kernels
+    regenerate the identical mask from the same seed."""
     return _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
-                    num_heads, kind, interpret)
+                    dropout_seed, num_heads, kind, interpret, dropout_rate)
 
 
 def _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
-             num_heads, kind, interpret):
+             seed, num_heads, kind, interpret, rate):
     B, S, HD = q.shape
     if S > MONO_MAX:
         out, _ = _forward_streaming(q, k, v, attention_mask, session_ids,
-                                    actions, block_ids, num_heads, kind,
-                                    interpret)
+                                    actions, block_ids, seed, num_heads, kind,
+                                    interpret, rate)
         return out
     D = HD // num_heads
     kernel = functools.partial(_fwd_kernel, kind=kind, scale=D ** -0.5,
-                               num_heads=num_heads)
+                               num_heads=num_heads, rate=rate)
     full = lambda width: pl.BlockSpec((1, S, width), lambda b: (b, 0, 0))
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[full(HD), full(k.shape[2]), full(v.shape[2]),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  full(HD), full(k.shape[2]), full(v.shape[2]),
                   _stream_spec(S), _stream_spec(S), _stream_spec(S), _stream_spec(S)],
         out_specs=full(HD),
         out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
         interpret=interpret,
-    )(q, k, v, *_stream_args(attention_mask, session_ids, actions, block_ids))
+    )(_seed_arr(seed), q, k, v,
+      *_stream_args(attention_mask, session_ids, actions, block_ids))
 
 
 def _fwd_rule(q, k, v, attention_mask, session_ids, actions, block_ids,
-              num_heads, kind, interpret):
+              dropout_seed, num_heads, kind, interpret, dropout_rate):
     if q.shape[1] > MONO_MAX:
         out, lse = _forward_streaming(q, k, v, attention_mask, session_ids,
-                                      actions, block_ids, num_heads, kind,
-                                      interpret)
+                                      actions, block_ids, dropout_seed,
+                                      num_heads, kind, interpret, dropout_rate)
         return out, (q, k, v, attention_mask, session_ids, actions, block_ids,
-                     out, lse)
+                     dropout_seed, out, lse)
     out = _forward(q, k, v, attention_mask, session_ids, actions, block_ids,
-                   num_heads, kind, interpret)
+                   dropout_seed, num_heads, kind, interpret, dropout_rate)
     return out, (q, k, v, attention_mask, session_ids, actions, block_ids,
-                 None, None)
+                 dropout_seed, None, None)
 
 
-def _bwd_rule(num_heads, kind, interpret, residuals, dout):
-    q, k, v, attention_mask, session_ids, actions, block_ids, out, lse = residuals
+def _bwd_rule(num_heads, kind, interpret, dropout_rate, residuals, dout):
+    (q, k, v, attention_mask, session_ids, actions, block_ids, dropout_seed,
+     out, lse) = residuals
     if lse is not None:
         dq, dk, dv = _bwd_streaming(q, k, v, dout, out, lse, attention_mask,
                                     session_ids, actions, block_ids,
-                                    num_heads, kind, interpret)
-        return dq, dk, dv, None, None, None, None
+                                    dropout_seed, num_heads, kind, interpret,
+                                    dropout_rate)
+        return dq, dk, dv, None, None, None, None, None
     B, S, HD = q.shape
     D = HD // num_heads
     Hkv = k.shape[2] // D
     G = num_heads // Hkv
     kernel = functools.partial(_bwd_kernel, kind=kind, scale=D ** -0.5,
-                               num_heads=num_heads, groups=G)
+                               num_heads=num_heads, groups=G, rate=dropout_rate)
     full = lambda width: pl.BlockSpec((1, S, width), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[full(HD), full(Hkv * D), full(Hkv * D), full(HD),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  full(HD), full(Hkv * D), full(Hkv * D), full(HD),
                   _stream_spec(S), _stream_spec(S), _stream_spec(S), _stream_spec(S)],
         out_specs=(full(HD), full(Hkv * D), full(Hkv * D)),
         out_shape=(jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, S, Hkv * D), k.dtype),
                    jax.ShapeDtypeStruct((B, S, Hkv * D), v.dtype)),
         interpret=interpret,
-    )(q, k, v, dout,
+    )(_seed_arr(dropout_seed), q, k, v, dout,
       *_stream_args(attention_mask, session_ids, actions, block_ids))
-    return dq, dk, dv, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None
 
 
 fused_mask_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -56,7 +56,7 @@ def test_fused_matches_reference(kind):
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
     H = q.shape[1]
     got = unflat(fused_mask_attention(flat(q), flat(k), flat(v), attn, sessions,
-                                      actions, block_ids, H, kind, True), H)
+                                      actions, block_ids, 0, H, kind, True), H)
     want = jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind)
     # compare only rows with at least one allowed key (pad/fully-masked query
     # rows produce unconsumed junk in both implementations)
@@ -81,10 +81,10 @@ def test_gqa_head_mapping():
     q, k, v, attn, sessions, actions, block_ids = make_inputs()
     H = q.shape[1]
     out1 = unflat(fused_mask_attention(flat(q), flat(k), flat(v), attn, sessions,
-                                       actions, block_ids, H, "causal", True), H)
+                                       actions, block_ids, 0, H, "causal", True), H)
     k2 = k.at[:, 1].set(k[:, 1] + 1.0)
     out2 = unflat(fused_mask_attention(flat(q), flat(k2), flat(v), attn, sessions,
-                                       actions, block_ids, H, "causal", True), H)
+                                       actions, block_ids, 0, H, "causal", True), H)
     diff = np.abs(np.asarray(out1) - np.asarray(out2)).sum(axis=(0, 2, 3))
     assert diff[0] == 0 and diff[1] == 0  # group 0 (heads 0,1) unchanged
     assert diff[2] > 0 and diff[3] > 0  # group 1 (heads 2,3) changed

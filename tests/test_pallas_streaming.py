@@ -31,7 +31,7 @@ def test_streaming_forward_matches_reference(small_chunks, kind, S):
     q, k, v, attn, sessions, actions, block_ids = make_inputs(S=S)
     H = q.shape[1]
     got = unflat(PA.fused_mask_attention(flat(q), flat(k), flat(v), attn,
-                                         sessions, actions, block_ids,
+                                         sessions, actions, block_ids, 0,
                                          H, kind, True), H)
     want = jnp_reference(q, k, v, attn, sessions, actions, block_ids, kind)
     from gamer_tpu.ops import masks as M
@@ -70,7 +70,7 @@ def test_streaming_gradients_match_reference(small_chunks, kind):
 
     def loss_stream(qf, kf, vf):
         out = PA.fused_mask_attention(qf, kf, vf, attn, sessions, actions,
-                                      block_ids, H, kind, True)
+                                      block_ids, 0, H, kind, True)
         return jnp.sum(jnp.sin(out) * w)
 
     def loss_ref(qf, kf, vf):
