@@ -37,14 +37,19 @@ class RQVAEConfig(Config):
     e_dim: int = 32
     layers: list = config_field([2048, 1024, 512, 256, 128, 64])
     dropout_prob: float = 0.0
+    bn: bool = False  # BatchNorm after each Dense (ref layers.py:19-22)
     loss_type: str = "mse"  # mse | l1
     quant_loss_weight: float = 1.0
     mu: float = 0.25
     sk_epsilons: list = config_field([0.0, 0.0, 0.0, 0.003])
     sk_iters: int = 50
+    kmeans_iters: int = 100  # Lloyd iterations for codebook init (ref RQVAE.py:54)
     alpha: float = 0.02  # CF loss weight
     beta: float = 0.0001  # diversity loss weight
     n_clusters: int = 10  # diversity clusters per codebook
+    # stored for config parity; the reference threads it through but never
+    # branches on it (ref model.py:50, trainers/RQVAE.py uses the default path)
+    sample_strategy: str = "all"
 
     @property
     def num_levels(self) -> int:
@@ -54,12 +59,19 @@ class RQVAEConfig(Config):
 class MLPStack(nn.Module):
     dims: tuple
     dropout: float = 0.0
+    bn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i, d in enumerate(self.dims):
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             x = nn.Dense(d, kernel_init=nn.initializers.xavier_normal())(x)
+            if self.bn:
+                # ref layers.py:21-22 appends BatchNorm1d after every Linear
+                # (torch defaults: eps 1e-5, running-stat momentum 0.1 — flax
+                # momentum is the fraction of the OLD stat kept, so 0.9)
+                x = nn.BatchNorm(use_running_average=deterministic,
+                                 momentum=0.9, epsilon=1e-5)(x)
             if i != len(self.dims) - 1:
                 x = nn.relu(x)
         return x
@@ -70,22 +82,33 @@ class RQVAE(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = MLPStack(tuple(list(c.layers) + [c.e_dim]), c.dropout_prob)
-        self.decoder = MLPStack(tuple(list(reversed(c.layers)) + [c.in_dim]), c.dropout_prob)
-        n_e = c.num_emb_list[0]
-        assert all(n == n_e for n in c.num_emb_list), "uniform level sizes expected"
-        self.codebooks = self.param(
-            "codebooks",
-            lambda key, shape: jax.random.uniform(key, shape, minval=-1.0 / n_e, maxval=1.0 / n_e),
-            (c.num_levels, n_e, c.e_dim),
-        )
+        self.encoder = MLPStack(tuple(list(c.layers) + [c.e_dim]), c.dropout_prob,
+                                bn=c.bn)
+        self.decoder = MLPStack(tuple(list(reversed(c.layers)) + [c.in_dim]),
+                                c.dropout_prob, bn=c.bn)
+        # One stacked parameter [L, max_n, e_dim] (shardable on the model axis);
+        # non-uniform level sizes (ref --num_emb_list) are static row slices —
+        # rows >= num_emb_list[level] are never read.
+        max_n = max(c.num_emb_list)
+
+        def init_books(key, shape):
+            u = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+            scale = jnp.asarray([1.0 / n for n in c.num_emb_list])[:, None, None]
+            return u * scale  # per-level uniform(-1/n_l, 1/n_l) (ref :36)
+
+        self.codebooks = self.param("codebooks", init_books,
+                                    (c.num_levels, max_n, c.e_dim))
+
+    def _book(self, level: int) -> jnp.ndarray:
+        """Static per-level slice of the stacked codebook."""
+        return self.codebooks[level][: self.cfg.num_emb_list[level]]
 
     # ---- quantization ------------------------------------------------------
 
     def _assign(self, residual: jnp.ndarray, level: int, use_sk: bool,
                 sample_last: bool, rng: Optional[jax.Array]) -> jnp.ndarray:
         c = self.cfg
-        book = self.codebooks[level]
+        book = self._book(level)
         d = (
             jnp.sum(residual ** 2, axis=1, keepdims=True)
             + jnp.sum(book ** 2, axis=1)[None, :]
@@ -112,7 +135,7 @@ class RQVAE(nn.Module):
         all_indices = []
         for level in range(c.num_levels):
             idx = self._assign(residual, level, use_sk, sample_last, rng)
-            quant = self.codebooks[level][idx]
+            quant = self._book(level)[idx]
             # per-level VQ losses on the residual target (ref :175-178)
             commitment = jnp.mean((jax.lax.stop_gradient(quant) - residual) ** 2)
             codebook_l = jnp.mean((quant - jax.lax.stop_gradient(residual)) ** 2)
@@ -134,8 +157,9 @@ class RQVAE(nn.Module):
                         labels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """InfoNCE pulling each quantized vector toward a same-cluster positive
         code (ref vector_quantizer.py:49-88)."""
-        book = self.codebooks[level]
+        book = self._book(level)
         n_e = book.shape[0]
+        labels = labels[:n_e]  # stacked [L, max_n] labels; slice this level's
         # positive sampling: same cluster, not self — gumbel-argmax over mask
         same = labels[indices][:, None] == labels[None, :]  # [B, n_e]
         not_self = jax.nn.one_hot(indices, n_e, dtype=bool)
@@ -180,8 +204,8 @@ class RQVAE(nn.Module):
         residual = self.encoder(x, True)
         for level in range(c.num_levels - 1):
             idx = self._assign(residual, level, use_sk=False, sample_last=False, rng=None)
-            residual = residual - self.codebooks[level][idx]
-        book = self.codebooks[c.num_levels - 1]
+            residual = residual - self._book(level)[idx]
+        book = self._book(c.num_levels - 1)
         return (
             jnp.sum(residual ** 2, axis=1, keepdims=True)
             + jnp.sum(book ** 2, axis=1)[None, :]

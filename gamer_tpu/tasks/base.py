@@ -54,6 +54,71 @@ def add_global_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     return parser
 
 
+def add_hf_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """The reference decoder trainers' HF-TrainingArguments surface
+    (ref SeqRec/tasks/train_decoder.py:29-137, shared by train_MB_decoder and
+    train_SMB_decoder): optimizer family, step-based logging/eval/save, the
+    per-device-batch x accumulation batch spec, and the dtype switches."""
+    g = parser.add_argument_group("hf-parity")
+    g.add_argument("--optim", type=str, default="adamw_torch",
+                   help="optimizer family (adamw/adam/sgd/adagrad/rmsprop; "
+                        "'adamw_torch' = adamw)")
+    g.add_argument("--logging_step", type=int, default=0,
+                   help="metric-stream cadence in steps (0 = default 50)")
+    g.add_argument("--save_and_eval_strategy", type=str, default="epoch",
+                   choices=["epoch", "steps"])
+    g.add_argument("--save_and_eval_steps", type=int, default=2000,
+                   help="eval/save every N optimizer steps (steps strategy)")
+    g.add_argument("--per_device_batch_size", type=int, default=0,
+                   help="alias for --micro_batch_size (ref flag name)")
+    g.add_argument("--gradient_accumulation_steps", type=int, default=0,
+                   help="explicit accumulation; with --per_device_batch_size "
+                        "this overrides the batch/micro derivation")
+    g.add_argument("--bf16", action="store_true",
+                   help="force bfloat16 compute (same as --dtype bfloat16)")
+    g.add_argument("--fp16", action="store_true",
+                   help="accepted for script parity; TPUs have no fp16 "
+                        "compute — maps to bfloat16 with a warning")
+    return parser
+
+
+def resolve_hf_train_args(args: dict, *, batch_size: int,
+                          micro_batch_size: int = 0,
+                          dtype: str = "auto") -> dict:
+    """Fold the HF-parity flags into (micro, accum, batch, dtype, loop kwargs).
+
+    Batch spec precedence: the ref pair (--per_device_batch_size +
+    --gradient_accumulation_steps) defines global batch = micro * accum when
+    given; otherwise accum derives from --batch_size / --micro_batch_size.
+    """
+    micro = int(args.get("per_device_batch_size") or micro_batch_size or 0)
+    accum = int(args.get("gradient_accumulation_steps") or 0)
+    if micro and accum:
+        batch_size = micro * accum
+    elif micro:
+        accum = max(batch_size // micro, 1)
+    elif accum:
+        micro = max(batch_size // accum, 1)
+    else:
+        micro = batch_size
+        accum = 1
+    if args.get("bf16"):
+        dtype = "bfloat16"
+    if args.get("fp16"):
+        logger.warning("--fp16: TPU has no fp16 compute; using bfloat16 "
+                       "(docs/parity.md 'Known deliberate divergences')")
+        dtype = "bfloat16"
+    loop_kwargs = {
+        "eval_strategy": args.get("save_and_eval_strategy", "epoch"),
+        "eval_every_steps": int(args.get("save_and_eval_steps") or 2000),
+    }
+    if args.get("logging_step"):
+        loop_kwargs["log_every_steps"] = int(args["logging_step"])
+    return {"micro": micro, "accum": accum, "batch_size": batch_size,
+            "dtype": dtype, "optim": str(args.get("optim", "adamw_torch")),
+            "loop_kwargs": loop_kwargs}
+
+
 def add_dataset_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     """ref utils/parse.py parse_dataset_args."""
     g = parser.add_argument_group("dataset")

@@ -51,13 +51,17 @@ def init_codebooks_from_data(model: RQVAE, variables, x: np.ndarray,
     x_e = model.apply(variables, jnp.asarray(x), True,
                       method=lambda m, a, d: m.encoder(a, d))
     residual = np.asarray(x_e)
+    max_n = max(cfg.num_emb_list)
     books = []
     for level in range(cfg.num_levels):
         n_e = cfg.num_emb_list[level]
-        centers, labels = balanced_kmeans(jnp.asarray(residual), n_e, iters=10,
+        centers, labels = balanced_kmeans(jnp.asarray(residual), n_e,
+                                          iters=cfg.kmeans_iters,
                                           seed=seed + level)
         centers, labels = np.asarray(centers), np.asarray(labels)
-        books.append(centers)
+        # stacked [L, max_n, e_dim] codebook: pad smaller levels (rows beyond
+        # num_emb_list[level] are never read)
+        books.append(np.pad(centers, ((0, max_n - n_e), (0, 0))))
         residual = residual - centers[labels]
     new_params = jax.tree_util.tree_map(lambda v: v, variables)
     new_params["params"]["codebooks"] = jnp.asarray(np.stack(books))
@@ -92,15 +96,30 @@ class TrainRQVAE(Task):
         g.add_argument("--e_dim", type=int, default=32)
         g.add_argument("--num_emb", type=int, default=256)
         g.add_argument("--num_levels", type=int, default=4)
+        g.add_argument("--num_emb_list", type=str, default=None,
+                       help="per-level codebook sizes, comma list (ref "
+                            "RQVAE.py:65-70); overrides --num_emb/--num_levels")
         g.add_argument("--layers", type=str, default="2048,1024,512,256,128,64")
         g.add_argument("--alpha", type=float, default=0.02)
         g.add_argument("--beta", type=float, default=0.0001)
         g.add_argument("--sk_epsilons", type=str, default=None,
                        help="per-level sinkhorn eps, comma list (default 0s + 0.003)")
         g.add_argument("--kmeans_init", action="store_true")
+        g.add_argument("--kmeans_iters", type=int, default=100,
+                       help="max kmeans iterations for codebook init")
+        g.add_argument("--sk_iters", type=int, default=50,
+                       help="max sinkhorn iterations")
+        g.add_argument("--n_clusters", type=int, default=10,
+                       help="diversity-loss clusters per codebook")
+        g.add_argument("--sample_strategy", type=str, default="all",
+                       help="accepted for parity (unused in the reference too)")
+        g.add_argument("--bn", action="store_true",
+                       help="BatchNorm in the encoder/decoder MLPs")
         g.add_argument("--dropout_prob", type=float, default=0.0)
         g.add_argument("--loss_type", type=str, default="mse")
         g.add_argument("--quant_loss_weight", type=float, default=1.0)
+        g.add_argument("--learner", "--optim", type=str, default="adamw",
+                       help="optimizer family (ref RQVAE.py:39)")
         g.add_argument("--recluster_every", type=int, default=1,
                        help="epochs between diversity re-clustering")
         return parser
@@ -109,7 +128,8 @@ class TrainRQVAE(Task):
             epochs, batch_size, learning_rate, weight_decay, eval_step,
             e_dim, num_emb, num_levels, layers, alpha, beta, sk_epsilons,
             kmeans_init, dropout_prob, loss_type, quant_loss_weight,
-            recluster_every, **_):
+            recluster_every, num_emb_list=None, kmeans_iters=100, sk_iters=50,
+            n_clusters=10, sample_strategy="all", bn=False, learner="adamw", **_):
         files = DataFiles(data_path, dataset)
         emb_path = emb_file or files.path(".emb-synthetic-td.npy")
         x = load_embeddings(emb_path)
@@ -123,15 +143,22 @@ class TrainRQVAE(Task):
             logger.warning("no --cf_emb_file given; disabling CF loss")
             alpha = 0.0
 
+        if num_emb_list:
+            emb_list = [int(v) for v in str(num_emb_list).split(",")]
+            num_levels = len(emb_list)
+        else:
+            emb_list = [num_emb] * num_levels
         if sk_epsilons:
             eps = [float(v) for v in sk_epsilons.split(",")]
         else:
             eps = [0.0] * (num_levels - 1) + [0.003]
         cfg = RQVAEConfig(
-            in_dim=in_dim, num_emb_list=[num_emb] * num_levels, e_dim=e_dim,
+            in_dim=in_dim, num_emb_list=emb_list, e_dim=e_dim,
             layers=[int(v) for v in layers.split(",")],
-            dropout_prob=dropout_prob, loss_type=loss_type,
+            dropout_prob=dropout_prob, bn=bn, loss_type=loss_type,
             quant_loss_weight=quant_loss_weight, sk_epsilons=eps,
+            sk_iters=sk_iters, kmeans_iters=kmeans_iters,
+            n_clusters=n_clusters, sample_strategy=sample_strategy,
             alpha=alpha, beta=beta)
         model = RQVAE(cfg)
 
@@ -141,7 +168,8 @@ class TrainRQVAE(Task):
             variables = init_codebooks_from_data(model, variables, x, seed)
 
         tx = make_optimizer(OptimizerConfig(
-            learning_rate=learning_rate, weight_decay=weight_decay,
+            optim=learner, learning_rate=learning_rate,
+            weight_decay=weight_decay,
             lr_scheduler_type="constant", warmup_ratio=0.0, max_grad_norm=0.0,
             total_steps=epochs * max(n // batch_size, 1)))
         opt_state = tx.init(variables)
@@ -151,17 +179,27 @@ class TrainRQVAE(Task):
         @jax.jit
         def train_step(variables, opt_state, batch_x, batch_cf, div_labels, rng):
             def loss_fn(v):
-                outputs = model.apply(
-                    v, batch_x, use_sk=True, deterministic=False,
+                kwargs = dict(
+                    use_sk=True, deterministic=False,
                     diversity_labels=div_labels if cfg.beta > 0 else None,
                     diversity_rng=rng,
                     rngs={"dropout": jax.random.fold_in(rng, 1)})
+                if cfg.bn:
+                    # BatchNorm running stats update outside the gradient
+                    outputs, new_state = model.apply(
+                        v, batch_x, mutable=["batch_stats"], **kwargs)
+                    loss, aux = rqvae_loss(cfg, outputs, batch_x, batch_cf)
+                    return loss, {**aux, "_batch_stats": new_state["batch_stats"]}
+                outputs = model.apply(v, batch_x, **kwargs)
                 return rqvae_loss(cfg, outputs, batch_x, batch_cf)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
             updates, opt_state = tx.update(grads, opt_state, variables)
             import optax
             variables = optax.apply_updates(variables, updates)
+            if cfg.bn:
+                variables = dict(variables,
+                                 batch_stats=aux.pop("_batch_stats"))
             return variables, opt_state, loss, aux
 
         @jax.jit
@@ -173,14 +211,20 @@ class TrainRQVAE(Task):
                               config=getattr(self, "param_dict", {}))
         best_loss, best_collision = np.inf, np.inf
         np_rng = np.random.default_rng(seed)
-        div_labels = jnp.zeros((cfg.num_levels, num_emb), jnp.int32)
+        max_n = max(cfg.num_emb_list)
+        div_labels = jnp.zeros((cfg.num_levels, max_n), jnp.int32)
         pad_n = ((n + batch_size - 1) // batch_size) * batch_size
 
         for epoch in range(epochs):
             if cfg.beta > 0 and epoch % recluster_every == 0:
                 books = np.asarray(variables["params"]["codebooks"])
                 div_labels = jnp.asarray(np.stack([
-                    cluster_codebook(books[l], cfg.n_clusters, seed + epoch + l)
+                    np.pad(np.asarray(cluster_codebook(
+                        books[l][: cfg.num_emb_list[l]],
+                        # clamp: small codebooks can't fill n_clusters
+                        min(cfg.n_clusters, cfg.num_emb_list[l]),
+                        seed + epoch + l)),
+                        (0, max_n - cfg.num_emb_list[l]))
                     for l in range(cfg.num_levels)]))
             order = np_rng.permutation(n)
             order = np.concatenate([order, order[: pad_n - n]])

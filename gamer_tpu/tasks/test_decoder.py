@@ -109,6 +109,31 @@ def run_seq_eval(model, cfg, params, vocab, family, corpus, examples,
     return totals, count
 
 
+def filter_collision_targets(corpus, examples, apply_filter: bool):
+    """Collision accounting over test targets (ref test_decoder.py:65-90):
+    a sample 'collides' when its target's semantic-id row is shared by more
+    than one item. With apply_filter, those samples are dropped."""
+    uniq, counts = np.unique(corpus.item_codes, axis=0, return_counts=True)
+    colliding = {tuple(int(v) for v in r) for r, c in zip(uniq, counts) if c > 1}
+
+    def target_row(ex):
+        t = ex.targets[0]
+        if t.shape[0] > corpus.sole_item_len:  # strip behavior-token column
+            t = (t[1:] if int(t[0]) >= corpus.vocab.behavior_base
+                 and int(t[0]) < corpus.vocab.code_base else t[:-1])
+        return tuple(int(v) for v in t)
+
+    is_coll = [target_row(ex) in colliding for ex in examples]
+    info = {"total": len(examples), "collision_items": len(colliding),
+            "collision_samples": int(sum(is_coll)),
+            "collision_ratio": float(sum(is_coll)) / max(len(examples), 1)}
+    if apply_filter:
+        examples = [ex for ex, c in zip(examples, is_coll) if not c]
+        logger.info("filtered collision targets: %d -> %d examples",
+                    info["total"], len(examples))
+    return examples, info
+
+
 @TASKS.register("test_decoder")
 class TestDecoder(Task):
     name = "test_decoder"
@@ -120,6 +145,12 @@ class TestDecoder(Task):
         add_dataset_args(parser)
         g = parser.add_argument_group("test")
         g.add_argument("--inter_type", type=str, default=None)
+        g.add_argument("--test_task", type=str, default="SeqRec",
+                       help="'SeqRec' or 'seqrec_<type>' (selects the "
+                            "interaction-file variant, ref test_decoder.py:58)")
+        g.add_argument("--filter", action="store_true",
+                       help="drop test samples whose target semantic id "
+                            "collides (ref test_decoder.py:65-90)")
         g.add_argument("--ckpt_path", type=str, default="./checkpoint")
         g.add_argument("--ckpt_tag", type=str, default="best")
         g.add_argument("--results_file", type=str, default="./results/test_decoder.json")
@@ -132,17 +163,24 @@ class TestDecoder(Task):
 
     def run(self, *, dataset, data_path, index_file, max_his_len, inter_type,
             ckpt_path, ckpt_tag, results_file, test_batch_size, num_beams,
-            metrics, cache_dtype="float32", **_):
+            metrics, cache_dtype="float32", test_task="SeqRec", filter=False,
+            **_):
+        t = (test_task or "SeqRec").lower()
+        if t.startswith("seqrec_") and inter_type is None:
+            inter_type = t[len("seqrec_"):]
         model, cfg, params, vocab, family = load_generative_model(ckpt_path, ckpt_tag)
         corpus = SeqCorpus(DataFiles(data_path, dataset), index_file,
                            multi_behavior=False, inter_type=inter_type)
         examples = SeqExampleBuilder(corpus, max_his_len).build("test")
+        examples, collision_info = filter_collision_targets(
+            corpus, examples, apply_filter=filter)
         metric_list = metrics.split(",")
         totals, count = run_seq_eval(
             model, cfg, params, vocab, family, corpus, examples,
             num_beams, test_batch_size, metric_list, cache_dtype)
         results = {m: v / max(count, 1) for m, v in totals.items()}
         out = {"metrics": results, "count": count,
+               "collision_info": collision_info,
                "config": {"dataset": dataset, "num_beams": num_beams, "ckpt": ckpt_path}}
         os.makedirs(os.path.dirname(results_file) or ".", exist_ok=True)
         with open(results_file, "w") as f:

@@ -23,7 +23,9 @@ from gamer_tpu.models.generative.encdec import EncDecModel, build_encdec_config
 from gamer_tpu.models.generative.encdec_utils import encdec_loss_fn, prepare_encdec_inputs
 from gamer_tpu.models.generative.qwen_family import (
     QWEN_FAMILY_PRESETS, QwenFamilyModel, build_config, prepare_train_inputs)
-from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.base import (
+    Task, add_dataset_args, add_global_args, add_hf_train_args,
+    resolve_hf_train_args)
 from gamer_tpu.tasks.train_smb_decoder import _lcm, make_loss_fn
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
 from gamer_tpu.train.state import OptimizerConfig
@@ -77,12 +79,15 @@ class TrainDecoder(Task):
         g.add_argument("--model_max_length", type=int, default=1024)
         g.add_argument("--n_layers", type=int, default=0)
         g.add_argument("--hidden_size", type=int, default=0)
+        add_hf_train_args(parser)
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, backbone,
             base_model, output_dir, seed, inter_type, epochs, batch_size,
             learning_rate, weight_decay, warmup_ratio, temperature, patience,
-            model_max_length, tasks="seqrec", n_layers=0, hidden_size=0, **_):
+            model_max_length, tasks="seqrec", n_layers=0, hidden_size=0,
+            **extra):
+        hf = resolve_hf_train_args(extra, batch_size=batch_size)
         # task-string parity: "seqrec" | "seqrec_<type>" selects the
         # interaction file variant (ref loading.py:17-41)
         t = (tasks or "seqrec").split(",")[0].lower()
@@ -104,7 +109,9 @@ class TrainDecoder(Task):
         if hidden_size:
             overrides["d_model" if backbone in ENCDEC_BACKBONES else "hidden_size"] = hidden_size
         model, cfg, family = build_seq_model(
-            backbone, corpus, temperature, model_max_length, base_model, **overrides)
+            backbone, corpus, temperature, model_max_length, base_model,
+            dtype=hf["dtype"] if hf["dtype"] != "auto" else "float32",
+            **overrides)
 
         import jax
 
@@ -124,22 +131,26 @@ class TrainDecoder(Task):
             params = model.init(jax.random.PRNGKey(seed),
                                 **prepare_train_inputs(cfg, sample))
 
-        steps_per_epoch = max(len(train) // batch_size, 1)
+        micro, accum = hf["micro"], hf["accum"]
+        steps_per_epoch = max(len(train) // micro, 1)
         trainer = Trainer(
             loss_fn=loss_fn, params=params, eval_loss_fn=eval_loss_fn,
-            opt_cfg=OptimizerConfig(learning_rate=learning_rate,
+            opt_cfg=OptimizerConfig(optim=hf["optim"],
+                                    learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
                                     total_steps=steps_per_epoch * epochs),
-            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed),
+            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
+                                     gradient_accumulation_steps=accum,
+                                     **hf["loop_kwargs"]),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
                                        config=getattr(self, "param_dict", {})))
 
         result = trainer.fit(
-            lambda epoch: iterate_batches(train, batch_size, batcher.collate,
+            lambda epoch: iterate_batches(train, micro, batcher.collate,
                                           shuffle=True, seed=seed + epoch),
-            lambda: iterate_batches(valid, batch_size, batcher.collate))
+            lambda: iterate_batches(valid, micro, batcher.collate))
         os.makedirs(output_dir, exist_ok=True)
         cfg.extra["family"] = family
         cfg.save(output_dir)

@@ -25,7 +25,9 @@ from gamer_tpu.data.loading_smb import load_smb_train
 from gamer_tpu.models.generative.qwen_family import (
     QwenFamilyConfig, QwenFamilyModel, build_config, prepare_train_inputs)
 from gamer_tpu.modules.losses import causal_lm_loss_with_denom
-from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.base import (
+    Task, add_dataset_args, add_global_args, add_hf_train_args,
+    resolve_hf_train_args)
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
 from gamer_tpu.train.state import OptimizerConfig
 
@@ -119,6 +121,7 @@ class TrainSMBDecoder(Task):
                        help="write a jax.profiler trace of a few steps here")
         g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
         g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
+        add_hf_train_args(parser)
         return parser
 
     def run(self, *, dataset, data_path, tasks, index_file, max_his_len, backbone,
@@ -126,11 +129,18 @@ class TrainSMBDecoder(Task):
             learning_rate, weight_decay, warmup_ratio, lr_scheduler_type,
             temperature, patience, only_train_response, model_max_length, dtype,
             n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto",
-            resume_from_checkpoint=False, save_epochs=0, profile_dir=None, **_):
+            resume_from_checkpoint=False, save_epochs=0, profile_dir=None,
+            **extra):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
         import jax
+
+        hf = resolve_hf_train_args(extra, batch_size=batch_size,
+                                   micro_batch_size=micro_batch_size,
+                                   dtype=dtype)
+        batch_size, dtype = hf["batch_size"], hf["dtype"]
+        micro_batch_size = hf["micro"]
 
         if attention_impl == "auto":
             # the fused pallas kernel wins the honest end-to-end A/B on TPU
@@ -170,8 +180,7 @@ class TrainSMBDecoder(Task):
             cfg = cfg.replace(padded_vocab_size=pad_to_multiple(
                 cfg.vocab_size, _lcm(128, ctx.n_model)))
         model = QwenFamilyModel(cfg)
-        micro = micro_batch_size or batch_size
-        accum = max(batch_size // micro, 1)
+        micro, accum = hf["micro"], hf["accum"]
         pad_multiple = _lcm(builder.tc, 8)
         # one sequence length across train+valid so jit compiles once
         batcher = DecoderBatcher.for_examples(
@@ -183,13 +192,15 @@ class TrainSMBDecoder(Task):
 
         steps_per_epoch = max(len(data.train) // micro, 1)
         opt_cfg = OptimizerConfig(
-            learning_rate=learning_rate, weight_decay=weight_decay,
-            warmup_ratio=warmup_ratio, lr_scheduler_type=lr_scheduler_type,
+            optim=hf["optim"], learning_rate=learning_rate,
+            weight_decay=weight_decay, warmup_ratio=warmup_ratio,
+            lr_scheduler_type=lr_scheduler_type,
             total_steps=steps_per_epoch * epochs)
         loop_cfg = TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                    gradient_accumulation_steps=accum,
                                    snapshot_every_epochs=save_epochs,
-                                   resume=resume_from_checkpoint)
+                                   resume=resume_from_checkpoint,
+                                   **hf["loop_kwargs"])
 
         import jax
         sample = batcher.collate(data.train[:micro])

@@ -186,12 +186,17 @@ class TrainSMBRec(Task):
         g.add_argument("--result_dir", type=str, default="./results")
         g.add_argument("--only_test", action="store_true")
         g.add_argument("--eval_batch_size", type=int, default=128)
+        g.add_argument("--add_uid", action="store_true",
+                       help="add user ids to the examples (ref train_SMB_rec.py:46; "
+                            "PBAT and *_uid task strings imply it)")
+        g.add_argument("--optim", type=str, default="adamw",
+                       help="adam|sgd|adagrad|rmsprop|adamw (ref SMBRec.py:46-76)")
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, tasks, backbone,
             base_model, output_dir, seed, epochs, batch_size, learning_rate,
             weight_decay, patience, metrics, main_metric, result_dir, only_test,
-            eval_batch_size, **_):
+            eval_batch_size, add_uid=False, optim="adamw", **_):
         import jax
         import jax.numpy as jnp
         import optax
@@ -203,7 +208,8 @@ class TrainSMBRec(Task):
         diff = "diff" in task_parts
         sampled_eval = "sample" in task_parts
         builder = SMBDisBuilder(corpus, max_his_len, diff=diff,
-                                add_uid=(backbone == "PBAT") or "uid" in task_parts)
+                                add_uid=add_uid or (backbone == "PBAT")
+                                or "uid" in task_parts)
         if "decoder" in task_parts:
             variant = "user"
         elif "neg" in task_parts:
@@ -275,7 +281,7 @@ class TrainSMBRec(Task):
         logger.info("%s parameters: %.2fM", backbone, n_params / 1e6)
 
         tx = make_optimizer(OptimizerConfig(
-            learning_rate=learning_rate, weight_decay=weight_decay,
+            optim=optim, learning_rate=learning_rate, weight_decay=weight_decay,
             lr_scheduler_type="constant", warmup_ratio=0.0, max_grad_norm=0.0,
             total_steps=epochs * max(len(train) // batch_size, 1)))
         opt_state = tx.init(variables)

@@ -37,7 +37,14 @@ logger = get_logger("train")
 class TrainLoopConfig(Config):
     epochs: int = 200
     patience: int = 20  # early-stop after N evals without improvement (<=0: off)
+    # "epoch": eval/save at epoch boundaries every eval_every_epochs.
+    # "steps": eval/save every eval_every_steps optimizer-UPDATE steps
+    # (micro-steps / gradient_accumulation_steps), mid-epoch — the HF
+    # save_and_eval_strategy pair (ref train_SMB_decoder.py:409-421).
+    eval_strategy: str = "epoch"
     eval_every_epochs: int = 1
+    eval_every_steps: int = 2000
+    eval_delay: int = 0  # skip evals before this epoch (epoch mode) / update step
     log_every_steps: int = 50
     gradient_accumulation_steps: int = 1
     metric_mode: str = "min"  # "min" (valid loss) or "max" (ranking metric)
@@ -156,6 +163,48 @@ class Trainer:
             logger.info("resumed from epoch %d (step %d, best %.4f)",
                         start_epoch, int(self.state.step), best)
 
+        accum = max(cfg.gradient_accumulation_steps, 1)
+        micro_steps_total = 0
+        stop = False
+
+        def run_eval(epoch: int, epoch_loss: float | None) -> bool:
+            """One eval + best-tracking + early-stop check. Returns True to stop."""
+            nonlocal best, evals_since_best
+            metric = None
+            if self.eval_fn is not None:
+                metric, extras = self.eval_fn(self.state.params)
+                if self.writer:
+                    self.writer.log({"eval/metric": metric, **{f"eval/{k}": v for k, v in extras.items()}},
+                                    step=int(self.state.step))
+            elif eval_batches is not None:
+                metric = self.evaluate(eval_batches())
+                if self.writer:
+                    self.writer.log({"eval/loss": metric}, step=int(self.state.step))
+            if metric is None:
+                return False
+            logger.info("epoch %d: eval metric %.4f (best %.4f)", epoch, metric, best)
+            entry = {"epoch": epoch, "eval": metric, "step": int(self.state.step)}
+            if epoch_loss is not None:
+                entry["train_loss"] = epoch_loss
+            history.append(entry)
+            if better(metric, best):
+                best = metric
+                evals_since_best = 0
+                if self.ckpt:
+                    self.ckpt.save("best", self.state.params,
+                                   {"epoch": epoch, "metric": float(metric),
+                                    "step": int(self.state.step)})
+            else:
+                evals_since_best += 1
+                if cfg.patience > 0 and evals_since_best >= cfg.patience:
+                    logger.info("early stopping at epoch %d", epoch)
+                    return True
+            if self.ckpt and cfg.eval_strategy == "steps":
+                self.ckpt.save("last_state", self.state,
+                               {"epoch": epoch, "best": float(best),
+                                "step": int(self.state.step)})
+            return False
+
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             n_steps, loss_acc = 0, None
@@ -168,39 +217,27 @@ class Trainer:
                 # log_every_steps / epoch instead
                 loss_acc = loss if loss_acc is None else loss_acc + loss
                 n_steps += 1
+                micro_steps_total += 1
                 if self.writer and n_steps % cfg.log_every_steps == 0:
                     self.writer.log({"train/loss": float(loss), "epoch": epoch},
                                     step=int(self.state.step))
+                if (cfg.eval_strategy == "steps"
+                        and micro_steps_total % (cfg.eval_every_steps * accum) == 0
+                        and micro_steps_total // accum >= cfg.eval_delay):
+                    stop = run_eval(epoch, None)
+                    if stop:
+                        break
+            if stop:
+                break
             epoch_loss = float(loss_acc) / max(n_steps, 1) if n_steps else 0.0
             dt = time.time() - t0
             logger.info("epoch %d: train loss %.4f (%d steps, %.1fs)", epoch, epoch_loss, n_steps, dt)
 
-            metric = None
-            if (epoch + 1) % cfg.eval_every_epochs == 0:
-                if self.eval_fn is not None:
-                    metric, extras = self.eval_fn(self.state.params)
-                    if self.writer:
-                        self.writer.log({"eval/metric": metric, **{f"eval/{k}": v for k, v in extras.items()}},
-                                        step=int(self.state.step))
-                elif eval_batches is not None:
-                    metric = self.evaluate(eval_batches())
-                    if self.writer:
-                        self.writer.log({"eval/loss": metric}, step=int(self.state.step))
-                if metric is not None:
-                    logger.info("epoch %d: eval metric %.4f (best %.4f)", epoch, metric, best)
-                    history.append({"epoch": epoch, "train_loss": epoch_loss, "eval": metric})
-                    if better(metric, best):
-                        best = metric
-                        evals_since_best = 0
-                        if self.ckpt:
-                            self.ckpt.save("best", self.state.params,
-                                           {"epoch": epoch, "metric": float(metric),
-                                            "step": int(self.state.step)})
-                    else:
-                        evals_since_best += 1
-                        if cfg.patience > 0 and evals_since_best >= cfg.patience:
-                            logger.info("early stopping at epoch %d", epoch)
-                            break
+            if (cfg.eval_strategy == "epoch"
+                    and (epoch + 1) % cfg.eval_every_epochs == 0
+                    and epoch >= cfg.eval_delay):
+                if run_eval(epoch, epoch_loss):
+                    break
             if self.ckpt:
                 if cfg.snapshot_every_epochs > 0 and (epoch + 1) % cfg.snapshot_every_epochs == 0:
                     self.ckpt.save(f"epoch_{epoch}", self.state.params, {"epoch": epoch})

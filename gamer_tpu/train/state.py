@@ -18,6 +18,7 @@ from gamer_tpu.core.config import Config
 
 
 class OptimizerConfig(Config):
+    optim: str = "adamw"  # adamw | adam | sgd | adagrad | rmsprop
     learning_rate: float = 5e-4
     lr_scheduler_type: str = "cosine"  # cosine | linear | constant
     warmup_ratio: float = 0.04
@@ -52,19 +53,51 @@ def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """Optimizer family selected by cfg.optim (ref SMBRec.py:46-76 offers
+    adam/sgd/adagrad/rmsprop/adamw; RQVAE.py --learner; HF "adamw_torch").
+
+    adamw decouples the decay (torch.AdamW); the others add L2 decay to the
+    gradient before the moment updates, matching torch's coupled weight_decay.
+    """
     schedule = make_schedule(cfg)
     # no weight decay on norms / biases / embeddings scales (standard practice;
-    # HF AdamW decays everything except bias/LayerNorm — match that)
+    # HF AdamW decays everything except bias/LayerNorm — match that). Only the
+    # trainable "params" collection decays: variables trees may also carry
+    # batch_stats (RQVAE --bn), which must never be decayed.
     def decay_mask(params):
         def keep(path, _):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            parts = [str(getattr(k, "key", k)) for k in path]
+            if "batch_stats" in parts:
+                return False
+            name = "/".join(parts)
             return not (name.endswith("scale") or name.endswith("bias"))
         return jax.tree_util.tree_map_with_path(keep, params)
 
+    optim = cfg.optim.lower().replace("_torch", "")
     chain = []
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    chain.append(optax.adamw(
-        schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-        weight_decay=cfg.weight_decay, mask=decay_mask))
+    if optim == "adamw":
+        chain.append(optax.adamw(
+            schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay, mask=decay_mask))
+        return optax.chain(*chain)
+    if cfg.weight_decay and optim in ("adam", "sgd", "adagrad", "rmsprop"):
+        chain.append(optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask))
+    if optim == "adam":
+        chain.append(optax.adam(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                eps=cfg.adam_eps))
+    elif optim == "sgd":
+        chain.append(optax.sgd(schedule))
+    elif optim == "adagrad":
+        chain.append(optax.adagrad(schedule))
+    elif optim == "rmsprop":
+        chain.append(optax.rmsprop(schedule))
+    else:
+        # ref SMBRec.py:71-75: warn and fall back to Adam without decay
+        import logging
+
+        logging.getLogger("gamer_tpu.train").warning(
+            "unrecognized optimizer %r; using adam", cfg.optim)
+        chain.append(optax.adam(schedule))
     return optax.chain(*chain)

@@ -35,8 +35,9 @@ INDEX_RQVAE = ".index.epoch300.alpha0.02-beta0.0001.json"
 
 FLAGSHIP = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
                 epochs=30, patience=6, tasks="smb_explicit_decoder_4")
+# short equal-budget ablation: relative tokenizer ordering, not best quality
 ABLATION = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=12, patience=4, tasks="smb_explicit_decoder_4")
+                epochs=8, patience=4, tasks="smb_explicit_decoder_4")
 
 
 def log(msg):
@@ -157,7 +158,7 @@ def main():
         run_stage(f"rec_{backbone}", [
             "train_SMB_rec", "--dataset", DS, "--data_path", DATA,
             "--backbone", backbone, "--max_his_len", 100,
-            "--epochs", 30, "--patience", 5, "--seed", SEED,
+            "--epochs", 20, "--patience", 5, "--seed", SEED,
             "--result_dir", os.path.join(OUT, f"rec_{backbone}"),
             "--output_dir", os.path.join(OUT, f"rec_{backbone}")],
             timeout_s=3 * 3600)

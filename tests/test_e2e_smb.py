@@ -151,3 +151,23 @@ def test_behind_layout_pipeline(e2e_dir, tmp_path):
         "--output_dir", out, "--n_layers", 1, "--hidden_size", 16,
         "--model_max_length", 128])
     assert np.isfinite(res["best_metric"])
+
+
+def test_train_with_shipped_base_model_and_hf_flags(e2e_dir, tmp_path):
+    """--base_model config/s2s-models/<Name> (the shipped config inventory)
+    plus the HF-parity flags: step-strategy eval, per-device batch spec,
+    sgd optimizer — the ref launch-script path end-to-end."""
+    res = run_cli([
+        "train_SMB_decoder", "--dataset", "Demo", "--data_path", e2e_dir / "data",
+        "--tasks", "smb_explicit_decoder_2", "--backbone", "Qwen3Multi",
+        "--base_model", "config/s2s-models/Qwen3Multi",
+        "--max_his_len", 6, "--epochs", 1,
+        "--per_device_batch_size", 4, "--gradient_accumulation_steps", 2,
+        "--optim", "sgd", "--learning_rate", "1e-2",
+        "--save_and_eval_strategy", "steps", "--save_and_eval_steps", 3,
+        "--output_dir", tmp_path / "ckpt", "--n_layers", 2, "--hidden_size", 16,
+        "--model_max_length", 128])
+    assert np.isfinite(res["best_metric"])
+    # steps strategy: evals at update steps 3, 6, ... (history carries steps)
+    assert res["history"] and all("step" in h for h in res["history"])
+    assert res["history"][0]["step"] == 3 * 2  # 3 updates x accum 2 micro-steps

@@ -196,3 +196,48 @@ def test_rq_kmeans_cf_reduce(synth_dir, tmp_path):
                 "--emb_file", f"{synth_dir}/Synth/Synth.emb-synthetic-td.npy"])
     assert res["n_items"] == 60
     assert "rq-kmeans-cf" in res["output_file"]
+
+
+class TestNonUniformAndBN:
+    def test_non_uniform_levels_respect_bounds(self):
+        """--num_emb_list with unequal sizes (ref RQVAE.py:65-70): indices
+        stay inside each level's codebook; losses stay finite."""
+        cfg = RQVAEConfig(in_dim=16, num_emb_list=[8, 4, 6], e_dim=4,
+                          layers=[12, 8], alpha=0.0, beta=0.0001,
+                          sk_epsilons=[0.0, 0.0, 0.003])
+        model = RQVAE(cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 16)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x)
+        assert v["params"]["codebooks"].shape == (3, 8, 4)
+        out = model.apply(v, x, use_sk=True,
+                          diversity_labels=jnp.zeros((3, 8), jnp.int32),
+                          diversity_rng=jax.random.PRNGKey(1))
+        idx = np.asarray(out["indices"])
+        assert (idx.max(0) < np.array([8, 4, 6])).all()
+        loss, _ = rqvae_loss(cfg, out, x)
+        assert np.isfinite(float(loss))
+
+    def test_bn_updates_running_stats(self):
+        """--bn (ref layers.py:19-22): train-mode apply must emit updated
+        batch_stats; eval-mode indices use the running stats and stay
+        batch-independent."""
+        cfg = RQVAEConfig(in_dim=16, num_emb_list=[8, 8], e_dim=4,
+                          layers=[12, 8], bn=True, alpha=0.0, beta=0.0,
+                          sk_epsilons=[0.0, 0.003])
+        model = RQVAE(cfg)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32) * 3 + 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+        assert "batch_stats" in v
+        _, new_state = model.apply(v, x, use_sk=True, deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(2)},
+                                   mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(v["batch_stats"])
+        after = jax.tree_util.tree_leaves(new_state["batch_stats"])
+        assert any(float(jnp.abs(a - b).max()) > 1e-6
+                   for a, b in zip(before, after))
+        # eval-mode get_indices: per-row result unchanged when batch shrinks
+        v2 = dict(v, batch_stats=new_state["batch_stats"])
+        idx_full = np.asarray(model.apply(v2, x, method=RQVAE.get_indices))
+        idx_half = np.asarray(model.apply(v2, x[:16], method=RQVAE.get_indices))
+        np.testing.assert_array_equal(idx_full[:16], idx_half)

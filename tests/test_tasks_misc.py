@@ -124,3 +124,109 @@ def test_train_task_on_multichip_mesh(synth_dir, tmp_path):
         model_max_length=128, dtype="float32", n_layers=1, hidden_size=16,
         mesh_ctx=ctx, attention_impl="jnp")
     assert np.isfinite(res["best_metric"])
+
+
+def test_reference_cli_flags_accepted():
+    """Every reference train-task flag (or its documented alias) parses.
+    Ref flag inventory: SeqRec/tasks/{train_decoder,train_MB_decoder,
+    train_SMB_decoder,train_SMB_rec,RQVAE}.py add_sub_parsers."""
+    import argparse
+
+    from gamer_tpu.tasks import task_list
+
+    def parse(task, argv):
+        parser = argparse.ArgumentParser()
+        sub = parser.add_subparsers(dest="task")
+        task_list[task].add_parser(sub)
+        return parser.parse_args([task] + argv)
+
+    for task in ["train_decoder", "train_MB_decoder", "train_SMB_decoder"]:
+        ns = parse(task, [
+            "--optim", "sgd", "--logging_step", "10",
+            "--save_and_eval_strategy", "steps", "--save_and_eval_steps", "500",
+            "--per_device_batch_size", "4", "--gradient_accumulation_steps", "2",
+            "--bf16", "--resume_from_checkpoint"]
+            if task == "train_SMB_decoder" else [
+            "--optim", "sgd", "--logging_step", "10",
+            "--save_and_eval_strategy", "steps", "--save_and_eval_steps", "500",
+            "--per_device_batch_size", "4", "--gradient_accumulation_steps", "2",
+            "--bf16"])
+        assert ns.optim == "sgd" and ns.per_device_batch_size == 4
+
+    ns = parse("train_SMB_rec", ["--add_uid", "--optim", "rmsprop"])
+    assert ns.add_uid and ns.optim == "rmsprop"
+
+    ns = parse("RQVAE", ["--num_emb_list", "256,128,64,32", "--bn",
+                         "--kmeans_iters", "20", "--sk_iters", "25",
+                         "--n_clusters", "5", "--sample_strategy", "all",
+                         "--learner", "AdamW"])
+    assert ns.num_emb_list == "256,128,64,32" and ns.bn and ns.learner == "AdamW"
+
+
+def test_filter_collision_targets():
+    """--filter parity (ref test_decoder.py:65-90): collision accounting
+    counts samples whose target id-row is shared by >1 item, and filtering
+    drops exactly those."""
+    import numpy as np
+
+    from gamer_tpu.tasks.test_decoder import filter_collision_targets
+
+    class Corpus:
+        item_codes = np.array([[1, 2], [3, 4], [1, 2], [5, 6]])
+        sole_item_len = 2
+
+        class vocab:
+            behavior_base = 100
+            code_base = 110
+
+    class Ex:
+        def __init__(self, row):
+            self.targets = np.asarray([row])
+
+    examples = [Ex([1, 2]), Ex([3, 4]), Ex([5, 6]), Ex([1, 2])]
+    kept, info = filter_collision_targets(Corpus(), examples, apply_filter=False)
+    assert len(kept) == 4
+    assert info == {"total": 4, "collision_items": 1, "collision_samples": 2,
+                    "collision_ratio": 0.5}
+    kept, info = filter_collision_targets(Corpus(), examples, apply_filter=True)
+    assert len(kept) == 2
+    assert all(tuple(e.targets[0]) != (1, 2) for e in kept)
+
+
+def test_shipped_config_dirs_load():
+    """config/{s2s,dis}-models mirror the reference's --base_model inventory
+    (ref scripts/train_SMB_decoder.sh:22-40 cascade); every shipped dir must
+    load into its model config with the reference hyperparameters."""
+    import os
+
+    from gamer_tpu.models.discriminative.base import DisModelConfig
+    from gamer_tpu.models.generative.encdec import EncDecConfig
+    from gamer_tpu.models.generative.qwen_family import QwenFamilyConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    s2s = os.path.join(root, "config", "s2s-models")
+    expected_s2s = {"TIGER", "PBATransformer", "Qwen3", "Qwen3-Light",
+                    "Qwen3-Light-2", "Qwen3Moe", "Qwen3ActionMoe",
+                    "Qwen3SessionMoe", "Qwen3Multi", "Qwen3SessionMulti"}
+    assert expected_s2s <= set(os.listdir(s2s))
+    for name in expected_s2s:
+        path = os.path.join(s2s, name)
+        if name in ("TIGER", "PBATransformer"):
+            cfg = EncDecConfig.from_file(path)
+            assert cfg.extra["family"] == "encdec"
+        else:
+            cfg = QwenFamilyConfig.from_file(path)
+            assert cfg.num_hidden_layers == 8 and cfg.hidden_size == 256
+    multi = QwenFamilyConfig.from_file(os.path.join(s2s, "Qwen3Multi"))
+    assert multi.cross_attention_layers == [4, 5, 6, 7]
+    assert multi.dropout_rate == 0.2 and multi.attn_dropout_rate == 0.2
+    light2 = QwenFamilyConfig.from_file(os.path.join(s2s, "Qwen3-Light-2"))
+    assert light2.rope_theta == 1e4
+
+    dis = os.path.join(root, "config", "dis-models")
+    expected_dis = {"SASRec", "BERT4Rec", "GRU4Rec", "MBHT", "MBSTR", "PBAT"}
+    assert expected_dis <= set(os.listdir(dis))
+    for name in expected_dis:
+        DisModelConfig.from_file(os.path.join(dis, name))
+    mbht = DisModelConfig.from_file(os.path.join(dis, "MBHT"))
+    assert mbht.scales == [5, 4, 20] and mbht.hyper_len == 6

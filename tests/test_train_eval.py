@@ -131,3 +131,92 @@ def test_padded_vocab_logits_match_unpadded():
     out_p = model_p.apply(pp, **inputs)["logits"]
     assert out_p.shape == out.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_p), rtol=1e-6, atol=1e-6)
+
+
+def test_optimizer_families_step_and_converge():
+    """--optim / --learner parity (ref SMBRec.py:46-76): every family must
+    produce finite descent on a quadratic; unknown names fall back to adam."""
+    import optax
+
+    from gamer_tpu.train.state import make_optimizer
+
+    target = jnp.asarray(np.random.default_rng(0).normal(size=(8,)).astype(np.float32))
+
+    def loss(w):
+        return jnp.sum((w - target) ** 2)
+
+    for name in ["adamw", "adamw_torch", "adam", "sgd", "adagrad", "rmsprop",
+                 "bogus"]:
+        tx = make_optimizer(OptimizerConfig(
+            optim=name, learning_rate=0.05, lr_scheduler_type="constant",
+            warmup_ratio=0.0, max_grad_norm=0.0, total_steps=100))
+        w = jnp.zeros((8,))
+        opt_state = tx.init(w)
+        l0 = float(loss(w))
+        for _ in range(50):
+            g = jax.grad(loss)(w)
+            updates, opt_state = tx.update(g, opt_state, w)
+            w = optax.apply_updates(w, updates)
+        l1 = float(loss(w))
+        assert np.isfinite(l1) and l1 < l0, (name, l0, l1)
+
+
+def test_weight_decay_skips_batch_stats():
+    """BatchNorm running stats (RQVAE --bn) must never be weight-decayed."""
+    import optax
+
+    from gamer_tpu.train.state import make_optimizer
+
+    variables = {"params": {"w": jnp.ones((4,))},
+                 "batch_stats": {"mean": jnp.ones((4,))}}
+    tx = make_optimizer(OptimizerConfig(
+        optim="adamw", learning_rate=0.1, weight_decay=0.5,
+        lr_scheduler_type="constant", warmup_ratio=0.0, max_grad_norm=0.0,
+        total_steps=10))
+    opt_state = tx.init(variables)
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    updates, _ = tx.update(zero_g, opt_state, variables)
+    new = optax.apply_updates(variables, updates)
+    # zero grads: params["w"] moves only by decay, batch_stats must not move
+    assert float(jnp.abs(new["params"]["w"] - 1.0).max()) > 1e-4
+    np.testing.assert_array_equal(np.asarray(new["batch_stats"]["mean"]),
+                                  np.ones(4))
+
+
+def test_steps_eval_strategy_mid_epoch():
+    """--save_and_eval_strategy steps: eval fires every N update steps
+    mid-epoch and drives early stopping (ref train_SMB_decoder.py:409-421)."""
+    cfg = tiny_config("Qwen3")
+    model = QwenFamilyModel(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=8)
+    inputs = prepare_train_inputs(cfg, batch)
+    params = {"params": model.init(jax.random.PRNGKey(0), **inputs)["params"]}
+
+    trainer = _make_trainer(model, cfg, params,
+                            eval_strategy="steps", eval_every_steps=2)
+    result = trainer.fit(lambda epoch: _chunk(batch, 2),
+                         lambda: _chunk(batch, 4))
+    # 4 micro-batches of 2 rows, accum=1 -> evals at update steps 2 and 4
+    assert len(result["history"]) == 2
+    assert [h["step"] for h in result["history"]] == [2, 4]
+
+
+def test_resolve_hf_train_args_batch_spec():
+    from gamer_tpu.tasks.base import resolve_hf_train_args
+
+    # ref pair defines the global batch
+    r = resolve_hf_train_args(
+        {"per_device_batch_size": 8, "gradient_accumulation_steps": 4},
+        batch_size=999)
+    assert (r["micro"], r["accum"], r["batch_size"]) == (8, 4, 32)
+    # our pair derives accumulation
+    r = resolve_hf_train_args({}, batch_size=64, micro_batch_size=16)
+    assert (r["micro"], r["accum"], r["batch_size"]) == (16, 4, 64)
+    # bf16 switch wins over auto
+    r = resolve_hf_train_args({"bf16": True}, batch_size=8)
+    assert r["dtype"] == "bfloat16"
+    # defaults unchanged
+    r = resolve_hf_train_args({}, batch_size=8)
+    assert (r["micro"], r["accum"], r["dtype"]) == (8, 1, "auto")
+    assert r["loop_kwargs"]["eval_strategy"] == "epoch"
