@@ -37,7 +37,7 @@ FLAGSHIP = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
                 epochs=30, patience=6, tasks="smb_explicit_decoder_4")
 # short equal-budget ablation: relative tokenizer ordering, not best quality
 ABLATION = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=8, patience=4, tasks="smb_explicit_decoder_4")
+                epochs=6, patience=4, tasks="smb_explicit_decoder_4")
 
 
 def log(msg):
@@ -146,19 +146,20 @@ def main():
                                "--seed", SEED])
     run_stage("tokenize_rid", ["tokenize", "--mode", "rid", "--dataset", DS,
                                "--data_path", DATA, "--seed", SEED])
+    # highest-value comparisons first (rqvae vs rid is the headline ordering)
     train_eval_decoder("abl_rqvae", "Qwen3Multi", INDEX_RQVAE, ABLATION)
+    train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json", ABLATION)
     train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
                        ABLATION)
     train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
                        ABLATION)
-    train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json", ABLATION)
 
     # ---- discriminative zoo ------------------------------------------------
     for backbone in ["SASRec", "BERT4Rec", "GRU4Rec", "MBHT", "MBSTR", "PBAT"]:
         run_stage(f"rec_{backbone}", [
             "train_SMB_rec", "--dataset", DS, "--data_path", DATA,
             "--backbone", backbone, "--max_his_len", 100,
-            "--epochs", 20, "--patience", 5, "--seed", SEED,
+            "--epochs", 15, "--patience", 5, "--seed", SEED,
             "--result_dir", os.path.join(OUT, f"rec_{backbone}"),
             "--output_dir", os.path.join(OUT, f"rec_{backbone}")],
             timeout_s=3 * 3600)
