@@ -159,7 +159,8 @@ class TrainSMBDecoder(Task):
             return self._run_encdec(
                 data=data, backbone=backbone, base_model=base_model,
                 output_dir=output_dir, seed=seed, epochs=epochs,
-                batch_size=micro_batch_size or batch_size,
+                batch_size=hf["micro"], accum=hf["accum"], optim=hf["optim"],
+                loop_kwargs=hf["loop_kwargs"],
                 learning_rate=learning_rate, weight_decay=weight_decay,
                 warmup_ratio=warmup_ratio, temperature=temperature,
                 patience=patience, n_layers=n_layers, hidden_size=hidden_size)
@@ -269,7 +270,8 @@ class TrainSMBDecoder(Task):
 
     def _run_encdec(self, *, data, backbone, base_model, output_dir, seed,
                     epochs, batch_size, learning_rate, weight_decay,
-                    warmup_ratio, temperature, patience, n_layers, hidden_size):
+                    warmup_ratio, temperature, patience, n_layers, hidden_size,
+                    accum=1, optim="adamw", loop_kwargs=None):
         """TIGER/PBATransformer on SMB data (seq2seq: history -> target block)."""
         import jax
 
@@ -307,11 +309,13 @@ class TrainSMBDecoder(Task):
         trainer = Trainer(
             loss_fn=loss_fn, params=params,
             eval_loss_fn=encdec_loss_fn(model, cfg, deterministic=True),
-            opt_cfg=OptimizerConfig(learning_rate=learning_rate,
+            opt_cfg=OptimizerConfig(optim=optim, learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
                                     total_steps=steps_per_epoch * epochs),
-            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed),
+            loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
+                                     gradient_accumulation_steps=accum,
+                                     **(loop_kwargs or {})),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
                                        config=getattr(self, "param_dict", {})))
