@@ -131,16 +131,25 @@ class Trainer:
         "denom": valid-target count) when the loss provides it, so the result
         equals a single global token mean and is invariant to batch-size
         re-chunking; otherwise falls back to valid-row weighting.
+
+        Accumulates ON DEVICE and host-syncs once at the end: a float() per
+        batch is a blocking tunnel round-trip, and at ~1k eval batches those
+        syncs dominated eval wall time (and stretched 10x under host CPU
+        contention — see CLAUDE.md). Same pattern as the train loop's
+        device-side epoch loss.
         """
-        total, weight = 0.0, 0.0
+        total, weight = None, None
         for batch in batches:
             row_w = float(np.asarray(batch.get("row_valid", np.ones(1))).sum())
             batch = self.ctx.shard_batch(batch)
             loss, aux = self._eval_step(self.state.params, batch)
-            w = float(aux["denom"]) if "denom" in aux else row_w
-            total += float(loss) * w
-            weight += w
-        return total / max(weight, 1.0)
+            w = aux["denom"] if "denom" in aux else row_w
+            contrib, w = loss * w, w * jnp.ones(())
+            total = contrib if total is None else total + contrib
+            weight = w if weight is None else weight + w
+        if total is None:
+            return 0.0
+        return float(total) / max(float(weight), 1.0)
 
     def fit(
         self,

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Render the flagship-scale quality run (runs/quality_r2) as markdown tables.
+
+Reads the results_*.json files written by test_SMB_decoder/test_SMB_rule and
+the rec_*/SVADQ_*.json files from train_SMB_rec, and prints the tables that go
+into docs/benchmarks.md. Safe to run mid-flight — missing stages are skipped.
+"""
+
+import glob
+import json
+import os
+import sys
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/quality_r2"
+KEYS = ["hit@1", "hit@5", "hit@10", "recall@10", "ndcg@10"]
+
+
+def row(name, metrics):
+    cells = " | ".join(f"{metrics.get(k, float('nan')):.4f}" for k in KEYS)
+    return f"| {name} | {cells} |"
+
+
+def merged(path):
+    if not os.path.exists(path):
+        return None
+    r = json.load(open(path))
+    return r.get("merged", r.get("metrics", r))
+
+
+def main():
+    header = "| | " + " | ".join(KEYS) + " |"
+    sep = "|---" * (len(KEYS) + 1) + "|"
+
+    print("### Generative (merged over behaviors, 20-beam trie-constrained)\n")
+    print(header)
+    print(sep)
+    for tag, label in [("rule", "rule floor (repeat history, unique)"),
+                       ("qwen3", "Qwen3 (causal backbone, full budget)"),
+                       ("qwen3multi", "**Qwen3Multi (flagship, full budget)**")]:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            print(row(label, m))
+
+    print("\n### Tokenizer ablation (Qwen3Multi, equal short budget)\n")
+    print(header)
+    print(sep)
+    for tag, label in [("abl_rid", "random IDs (rid)"),
+                       ("abl_cid", "chunked IDs (cid)"),
+                       ("abl_rqkmeans", "RQ-KMeans"),
+                       ("abl_rqvae", "**RQ-VAE**")]:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            print(row(label, m))
+
+    print("\n### Discriminative zoo (train_SMB_rec, full-sort test)\n")
+    print(header)
+    print(sep)
+    for path in sorted(glob.glob(os.path.join(OUT, "rec_*", "SVADQ_*.json"))):
+        name = os.path.basename(path).replace("SVADQ_", "").replace(".json", "")
+        r = json.load(open(path))  # behavior -> {metric: v, count: n}
+        total = sum(v.get("count", 0) for v in r.values()) or 1
+        m = {k: sum(v.get(k, 0.0) * v.get("count", 0) for v in r.values()) / total
+             for k in KEYS}
+        print(row(name, m))
+
+
+if __name__ == "__main__":
+    main()
