@@ -83,7 +83,7 @@ def gen_corpus():
 
 def train_eval_decoder(tag, backbone, index_file, budget):
     ckpt = os.path.join(OUT, f"ckpt_{tag}")
-    run_stage(f"train_{tag}", [
+    argv = [
         "train_SMB_decoder", "--dataset", DS, "--data_path", DATA,
         "--tasks", budget["tasks"], "--backbone", backbone,
         "--index_file", index_file,
@@ -92,7 +92,11 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "--batch_size", budget["batch_size"],
         "--micro_batch_size", budget["micro_batch_size"],
         "--warmup_ratio", "0.04", "--seed", SEED,
-        "--output_dir", ckpt], timeout_s=6 * 3600)
+        "--output_dir", ckpt]
+    # interrupted run: pick up from last_state instead of restarting
+    if os.path.exists(os.path.join(ckpt, "last_state")):
+        argv.append("--resume_from_checkpoint")
+    run_stage(f"train_{tag}", argv, timeout_s=6 * 3600)
     run_stage(f"eval_{tag}", [
         "test_SMB_decoder", "--dataset", DS, "--data_path", DATA,
         "--index_file", index_file, "--max_his_len", budget["max_his_len"],
