@@ -150,3 +150,31 @@ class TestBeamSearch:
                 seq = tuple(np.asarray(top_codes)[b, k].tolist())
                 np.testing.assert_allclose(top_scores[b, k], exhaustive[seq],
                                            rtol=1e-4, atol=1e-5)
+
+
+class TestCompileOnce:
+    def test_search_executable_shared_across_behaviors(self, decode_setup):
+        """The per-eval compile-once invariant (docs/parity.md): behavior
+        ids/tokens are traced args, so evaluating different behaviors through
+        one make_beam_search_fn handle must hit a single jit executable.
+        Regression guard for accidentally baking behavior into static config
+        (which would recompile per behavior and blow up TPU eval wall time,
+        ref loops whole eval passes per behavior, test_SMB_decoder.py:362-380).
+        """
+        from gamer_tpu.decode.beam import make_beam_search_fn
+
+        d = decode_setup
+        search = make_beam_search_fn(d["model"], d["trie"],
+                                     BeamSearchConfig(num_beams=4))
+        B = int(d["batch"]["input_ids"].shape[0])
+        for beh in (1, 2):  # two behaviors, two distinct traced values
+            batch = dict(d["batch"])
+            ids = np.asarray(batch["input_ids"]).copy()
+            ids[:, -1] = d["vocab"].behavior_base + beh - 1
+            batch["input_ids"] = jnp.asarray(ids)
+            codes, scores = search(d["params"], batch,
+                                   jnp.full((B,), beh, jnp.int32))
+            assert np.asarray(codes).shape[0] == B
+        assert search._cache_size() == 1, (
+            f"beam search recompiled: {search._cache_size()} executables "
+            "for 2 behaviors (behavior must stay a traced arg)")
