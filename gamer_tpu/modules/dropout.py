@@ -33,7 +33,16 @@ class BitDropout(nn.Module):
         threshold = int(round(self.rate * 65536))
         keep_prob = 1.0 - threshold / 65536.0
         rng = self.make_rng(self.rng_collection)
-        bits = jax.random.bits(rng, x.shape, jnp.uint16)
+        # two u16 lanes per 32-bit generator word: threefry's sub-32-bit draw
+        # runs one full 2x32 hash per ELEMENT and truncates (jax
+        # _threefry_random_bits_partitionable), so drawing half as many u32
+        # words and bitcasting halves the hash work; under rbg it halves the
+        # RngBitGenerator output volume.
+        n = x.size
+        half = (n + 1) // 2
+        bits32 = jax.random.bits(rng, (half,), jnp.uint32)
+        bits = jax.lax.bitcast_convert_type(bits32, jnp.uint16)
+        bits = bits.reshape(-1)[:n].reshape(x.shape)
         keep = bits >= jnp.uint16(threshold)
         scale = jnp.asarray(1.0 / keep_prob, x.dtype)
         return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))

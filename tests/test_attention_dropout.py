@@ -191,3 +191,29 @@ def test_model_attention_dropout_smoke():
     out_a = model.apply(params, **inputs)["logits"]
     out_b = model.apply(params, **inputs)["logits"]
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_bit_dropout_packed_lanes():
+    """BitDropout draws two u16 lanes per 32-bit generator word (odd element
+    counts exercise the tail slice): rate statistics, inverted scaling, and
+    deterministic-path identity must hold."""
+    from gamer_tpu.modules.dropout import BitDropout
+
+    m = BitDropout(0.2)
+    x = jnp.ones((64, 257), jnp.float32)  # odd size -> tail slice path
+    y = np.asarray(m.apply({}, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(0)}))
+    assert abs((y == 0).mean() - 0.2) < 0.01
+    # keep prob quantized to 1/65536 -> scale within 1e-4 of 1/0.8
+    np.testing.assert_allclose(np.unique(y[y != 0]), 1 / 0.8, rtol=1e-4)
+    yd = np.asarray(m.apply({}, x, deterministic=True,
+                            rngs={"dropout": jax.random.PRNGKey(0)}))
+    np.testing.assert_array_equal(yd, np.asarray(x))
+    # adjacent elements come from the same 32-bit word -> must still be
+    # independent Bernoullis (the two lanes of one word are distinct bits)
+    big = np.asarray(m.apply({}, jnp.ones((1, 1 << 16), jnp.float32),
+                             deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(1)})) == 0
+    even, odd = big[0, ::2], big[0, 1::2]
+    corr = np.corrcoef(even, odd)[0, 1]
+    assert abs(corr) < 0.02, f"lane correlation {corr}"
