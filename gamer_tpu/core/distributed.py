@@ -42,9 +42,10 @@ def maybe_initialize(coordinator_address: str | None = None,
     Returns True when running multi-process (after initialization).
     """
     global _initialized
-    import jax
 
     if _initialized:
+        import jax
+
         return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get("GAMER_COORDINATOR")
@@ -56,6 +57,8 @@ def maybe_initialize(coordinator_address: str | None = None,
         process_id = int(env_pid)
 
     if coordinator_address is not None:
+        import jax
+
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -69,12 +72,18 @@ def maybe_initialize(coordinator_address: str | None = None,
     if os.environ.get("GAMER_DISTRIBUTED") == "1":
         # TPU-pod auto-detection: coordinator/rank resolved from the metadata
         # server / TPU env (jax's built-in cluster detection)
+        import jax
+
         jax.distributed.initialize()
         _initialized = True
         logger.info("distributed: auto-initialized process %d/%d (%d devices)",
                     jax.process_index(), jax.process_count(), jax.device_count())
         return True
-    return jax.process_count() > 1
+    # unconfigured = single-process by definition. Do NOT query
+    # jax.process_count() here: that would initialize the backend (and open a
+    # TPU client) on every CLI invocation, even `main.py --help` — hazardous
+    # on single-tenant chips.
+    return False
 
 
 def process_index() -> int:

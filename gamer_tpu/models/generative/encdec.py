@@ -164,9 +164,10 @@ class T5Attention(nn.Module):
         if not deterministic and cfg.dropout_rate > 0.0:
             # dropout on attention probs (HF T5Attention does the same with
             # config.dropout_rate during training)
-            thresh = min(int(round(cfg.dropout_rate * 4294967296.0)), 4294967295)
+            from gamer_tpu.modules.dropout import keep_threshold
+
+            thresh, keep_p = keep_threshold(cfg.dropout_rate)
             bits = jax.random.bits(self.make_rng("dropout"), probs.shape, jnp.uint32)
-            keep_p = (4294967296 - thresh) / 4294967296.0
             probs = jnp.where(bits >= jnp.uint32(thresh), probs / keep_p, 0.0)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         out = dense(cfg.d_model, "o")(out.reshape(b, sq, inner))

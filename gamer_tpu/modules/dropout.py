@@ -20,6 +20,21 @@ import jax
 import jax.numpy as jnp
 
 
+def keep_threshold(rate: float, bits: int = 32) -> tuple[int, float]:
+    """Quantized drop threshold + exact keep probability for a `bits`-wide
+    uniform compare (drop when rng word < threshold).
+
+    Clamped to span-1 so any rate < 1.0 keeps a nonzero keep probability
+    (rate=1.0 is handled separately by callers). Single source of truth for
+    every uniform-compare dropout in the repo; the Pallas kernel's
+    `ops.pallas_attention.keep_fraction` is the same formula (ops must not
+    import modules) — equivalence is pinned by tests/test_attention_dropout.py.
+    """
+    span = 1 << bits
+    thresh = min(int(round(rate * span)), span - 1)
+    return thresh, (span - thresh) / span
+
+
 class BitDropout(nn.Module):
     rate: float
     rng_collection: str = "dropout"
@@ -30,8 +45,7 @@ class BitDropout(nn.Module):
             return x
         if self.rate == 1.0:
             return jnp.zeros_like(x)
-        threshold = int(round(self.rate * 65536))
-        keep_prob = 1.0 - threshold / 65536.0
+        threshold, keep_prob = keep_threshold(self.rate, bits=16)
         rng = self.make_rng(self.rng_collection)
         # two u16 lanes per 32-bit generator word: threefry's sub-32-bit draw
         # runs one full 2x32 hash per ELEMENT and truncates (jax

@@ -79,9 +79,10 @@ def attend(
     probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
         assert dropout_rng is not None
-        thresh = min(int(round(dropout_rate * 4294967296.0)), 4294967295)
+        from gamer_tpu.modules.dropout import keep_threshold
+
+        thresh, keep_p = keep_threshold(dropout_rate)
         keep = jax.random.bits(dropout_rng, probs.shape, jnp.uint32) >= jnp.uint32(thresh)
-        keep_p = (4294967296 - thresh) / 4294967296.0
         probs = jnp.where(keep, probs / keep_p, 0.0)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.reshape(b, sq, h, d).astype(q.dtype)

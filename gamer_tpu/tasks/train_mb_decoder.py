@@ -27,7 +27,7 @@ from gamer_tpu.tasks.base import (
 from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES, build_seq_model
 from gamer_tpu.tasks.train_smb_decoder import _lcm, make_loss_fn
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
-from gamer_tpu.train.state import OptimizerConfig
+from gamer_tpu.train.state import OptimizerConfig, schedule_horizon
 
 logger = get_logger("tasks.train_mb_decoder")
 
@@ -129,24 +129,32 @@ class TrainMBDecoder(Task):
                                 **prepare_train_inputs(cfg, sample))
 
         micro, accum = hf["micro"], hf["accum"]
-        steps_per_epoch = max(len(train) // micro, 1)
         trainer = Trainer(
             loss_fn=loss_fn, params=params, eval_loss_fn=eval_loss_fn,
             opt_cfg=OptimizerConfig(optim=hf["optim"],
                                     learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
-                                    total_steps=steps_per_epoch * epochs),
+                                    total_steps=schedule_horizon(
+                                        len(train), micro, accum, epochs)),
             loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                      gradient_accumulation_steps=accum,
                                      **hf["loop_kwargs"]),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
                                        config=getattr(self, "param_dict", {})))
+        # multi-process: each process feeds ITS stride-shard at micro/pc rows
+        # per step; shard_batch assembles the global array (core/distributed)
+        from gamer_tpu.core import distributed
+
+        pc = distributed.process_count()
+        if micro % pc:
+            raise ValueError(f"micro batch {micro} not divisible by process_count {pc}")
+        ltrain, lvalid = distributed.shard_examples(train), distributed.shard_examples(valid)
         result = trainer.fit(
-            lambda epoch: iterate_batches(train, micro, batcher.collate,
+            lambda epoch: iterate_batches(ltrain, micro // pc, batcher.collate,
                                           shuffle=True, seed=seed + epoch),
-            lambda: iterate_batches(valid, micro, batcher.collate))
+            lambda: iterate_batches(lvalid, micro // pc, batcher.collate))
         os.makedirs(output_dir, exist_ok=True)
         cfg.extra["family"] = family
         cfg.extra["behavior_first"] = layout.behavior_first

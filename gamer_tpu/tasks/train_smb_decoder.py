@@ -29,7 +29,7 @@ from gamer_tpu.tasks.base import (
     Task, add_dataset_args, add_global_args, add_hf_train_args,
     resolve_hf_train_args)
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
-from gamer_tpu.train.state import OptimizerConfig
+from gamer_tpu.train.state import OptimizerConfig, schedule_horizon
 
 logger = get_logger("tasks.train_smb_decoder")
 
@@ -191,12 +191,11 @@ class TrainSMBDecoder(Task):
         logger.info("model %s: vocab=%d seq_len=%d train=%d valid=%d",
                     backbone, cfg.vocab_size, batcher.seq_len, len(data.train), len(data.valid))
 
-        steps_per_epoch = max(len(data.train) // micro, 1)
         opt_cfg = OptimizerConfig(
             optim=hf["optim"], learning_rate=learning_rate,
             weight_decay=weight_decay, warmup_ratio=warmup_ratio,
             lr_scheduler_type=lr_scheduler_type,
-            total_steps=steps_per_epoch * epochs)
+            total_steps=schedule_horizon(len(data.train), micro, accum, epochs))
         loop_cfg = TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                    gradient_accumulation_steps=accum,
                                    snapshot_every_epochs=save_epochs,
@@ -305,24 +304,33 @@ class TrainSMBDecoder(Task):
         sample = batcher.collate(data.train[:2])
         params = model.init(jax.random.PRNGKey(seed),
                             **prepare_encdec_inputs(cfg, sample))
-        steps_per_epoch = max(len(data.train) // batch_size, 1)
+        # batch_size here is the MICRO batch (caller passes hf["micro"])
         trainer = Trainer(
             loss_fn=loss_fn, params=params,
             eval_loss_fn=encdec_loss_fn(model, cfg, deterministic=True),
             opt_cfg=OptimizerConfig(optim=optim, learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
-                                    total_steps=steps_per_epoch * epochs),
+                                    total_steps=schedule_horizon(
+                                        len(data.train), batch_size, accum, epochs)),
             loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                      gradient_accumulation_steps=accum,
                                      **(loop_kwargs or {})),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
                                        config=getattr(self, "param_dict", {})))
+        # multi-process: stride-shard + micro/pc rows per process (see _run)
+        from gamer_tpu.core import distributed
+
+        pc = distributed.process_count()
+        if batch_size % pc:
+            raise ValueError(f"micro batch {batch_size} not divisible by process_count {pc}")
+        ltrain = distributed.shard_examples(data.train)
+        lvalid = distributed.shard_examples(data.valid)
         result = trainer.fit(
-            lambda epoch: iterate_batches(data.train, batch_size, batcher.collate,
+            lambda epoch: iterate_batches(ltrain, batch_size // pc, batcher.collate,
                                           shuffle=True, seed=seed + epoch),
-            lambda: iterate_batches(data.valid, batch_size, batcher.collate))
+            lambda: iterate_batches(lvalid, batch_size // pc, batcher.collate))
         os.makedirs(output_dir, exist_ok=True)
         cfg.extra["family"] = "encdec"
         cfg.save(output_dir)

@@ -38,6 +38,17 @@ class TrainState:
     opt_state: Any
 
 
+def schedule_horizon(n_examples: int, micro: int, accum: int, epochs: int) -> int:
+    """Total OPTIMIZER UPDATES for the LR schedule.
+
+    optax.MultiSteps advances the inner schedule once per accumulation cycle
+    (pinned by tests/test_train_eval.py), matching HF Trainer's update-step
+    max_steps — a micro-step horizon would stretch warmup and truncate the
+    cosine by the accumulation factor.
+    """
+    return max(n_examples // (micro * max(accum, 1)), 1) * epochs
+
+
 def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     warmup = cfg.warmup_steps or int(cfg.warmup_ratio * cfg.total_steps)
     decay_steps = max(cfg.total_steps - warmup, 1)

@@ -217,3 +217,23 @@ def test_bit_dropout_packed_lanes():
     even, odd = big[0, ::2], big[0, 1::2]
     corr = np.corrcoef(even, odd)[0, 1]
     assert abs(corr) < 0.02, f"lane correlation {corr}"
+
+
+def test_keep_threshold_single_source():
+    """modules.dropout.keep_threshold is the quantization used by every
+    uniform-compare dropout; the Pallas kernel's keep_fraction (ops must not
+    import modules) must stay numerically identical, and the clamp must keep
+    keep_prob > 0 for any rate < 1.0 (rate=1.0 is special-cased by callers)."""
+    from gamer_tpu.modules.dropout import BitDropout, keep_threshold
+
+    for rate in [0.0, 0.1, 0.2, 0.5, 0.999, 0.9999999, 1.0 - 2**-40]:
+        assert PA.keep_fraction(rate) == keep_threshold(rate, 32)[1]
+        for bits in (16, 32):
+            t, p = keep_threshold(rate, bits)
+            assert 0 <= t < (1 << bits)
+            assert p > 0.0
+    # the overflow band below 1.0 must not crash BitDropout (div by keep_prob)
+    m = BitDropout(1.0 - 2**-40)
+    y = m.apply({}, jnp.ones((4, 8)), deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(y)).all()

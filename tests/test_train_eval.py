@@ -220,3 +220,29 @@ def test_resolve_hf_train_args_batch_spec():
     r = resolve_hf_train_args({}, batch_size=8)
     assert (r["micro"], r["accum"], r["dtype"]) == (8, 1, "auto")
     assert r["loop_kwargs"]["eval_strategy"] == "epoch"
+
+
+def test_schedule_horizon_counts_optimizer_updates():
+    """The LR-schedule horizon is OPTIMIZER UPDATES, not micro-steps: with
+    gradient accumulation k, optax.MultiSteps advances the inner schedule once
+    per k micro-steps (HF Trainer semantics). A micro-step horizon would
+    stretch warmup and truncate the cosine by k (the round-2 flagship recipe
+    is micro 64 x accum 16 — a 16x distortion)."""
+    import optax
+
+    from gamer_tpu.train.state import (OptimizerConfig, make_optimizer,
+                                       schedule_horizon)
+
+    assert schedule_horizon(60000, 64, 16, 30) == (60000 // 1024) * 30
+    assert schedule_horizon(100, 8, 1, 5) == (100 // 8) * 5
+    assert schedule_horizon(4, 8, 2, 3) == 3  # floor clamp
+
+    # pin the optax behavior the formula depends on: schedule consumed once
+    # per accumulation cycle
+    k = 4
+    tx = optax.MultiSteps(make_optimizer(OptimizerConfig(total_steps=10)), k)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    for _ in range(2 * k):
+        _, state = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert int(state.gradient_step) == 2
