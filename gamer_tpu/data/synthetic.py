@@ -44,6 +44,27 @@ class SyntheticSpec:
     min_sessions: int = 3
     emb_dim: int = 64
     seed: int = 0
+    # --- sequential signal (v2) ---------------------------------------------
+    # With stickiness 0 items are drawn iid from the user's static cluster
+    # preference — then "repeat history" is near-information-theoretically
+    # optimal and NO sequence model can beat the rule floor (observed at
+    # 12k users / 8k items, runs/quality_r2). These knobs add structure only a
+    # sequence model captures:
+    #  * cluster_stickiness: probability that the next item's cluster is drawn
+    #    from a GLOBAL successor graph of the previous item's cluster (the
+    #    successor clusters are typically absent from the user's history, so
+    #    repeat-history cannot follow the transition);
+    #  * item_pop_alpha: Zipf exponent of within-cluster item popularity (a
+    #    model can rank popular unseen items; the rule only knows seen ones).
+    cluster_stickiness: float = 0.0
+    succ_per_cluster: int = 3
+    item_pop_alpha: float = 0.0
+    # stickiness modulation by the PREVIOUS event's behavior level: effective
+    # stickiness = cluster_stickiness + gain * ((level-1)/(K-1) - 0.5), so
+    # high-level behaviors (e.g. buy) make the user follow the successor graph
+    # and low-level ones explore — the behavior stream carries real signal for
+    # behavior-aware models (Qwen3Multi/MBSTR/PBAT), not just token noise.
+    behavior_stickiness_gain: float = 0.0
 
 
 @dataclass
@@ -57,6 +78,9 @@ class SyntheticData:
     behavior_level: dict[str, int] = field(default_factory=dict)
     item_meta: dict[str, dict] = field(default_factory=dict)
     embeddings: np.ndarray | None = None
+    # generator latents (item_cluster, succ graph, pop cdfs) — not written to
+    # disk; used by validation scripts to compute oracle baselines
+    latent: dict = field(default_factory=dict)
 
     def write(self, data_path: str, dataset: str, plm: str = "synthetic") -> DataFiles:
         files = DataFiles(data_path, dataset)
@@ -69,6 +93,37 @@ class SyntheticData:
         if self.embeddings is not None:
             files.save_embeddings(self.embeddings, plm=plm)
         return files
+
+
+def _markov_items(rng, spec, pref_cdf, succ, cluster_items, pop_cdf, safe, n,
+                  behs):
+    """Sequential item draw: with prob eff_stickiness[t-1] the next cluster
+    comes from the previous cluster's successor set (global graph), otherwise
+    from the user's static preference; the item within the cluster follows the
+    Zipf popularity. Stickiness is modulated by the previous event's behavior
+    level (spec.behavior_stickiness_gain). O(log items-per-cluster) per step."""
+    items = np.empty(n, dtype=np.int64)
+    denom = max(len(spec.behaviors) - 1, 1)
+    lvl = np.asarray(behs, dtype=np.float64) / denom  # 0 .. 1 by level
+    eff = np.clip(spec.cluster_stickiness
+                  + spec.behavior_stickiness_gain * (lvl - 0.5), 0.0, 1.0)
+    u_trans = rng.random(n)
+    u_cluster = rng.random(n)
+    u_item = rng.random(n)
+    succ_pick = rng.integers(0, spec.succ_per_cluster, size=n)
+    prev_c = -1
+    for t in range(n):
+        if prev_c >= 0 and u_trans[t] < eff[t - 1]:
+            c = int(succ[prev_c, succ_pick[t]])
+        else:
+            c = min(int(np.searchsorted(pref_cdf, u_cluster[t], side="right")),
+                    len(pref_cdf) - 1)
+        c = int(safe[c])
+        idx = cluster_items[c]
+        items[t] = idx[min(int(np.searchsorted(pop_cdf[c], u_item[t])),
+                           len(idx) - 1)]
+        prev_c = c
+    return items.tolist()
 
 
 def generate(spec: SyntheticSpec | None = None) -> SyntheticData:
@@ -111,6 +166,25 @@ def generate(spec: SyntheticSpec | None = None) -> SyntheticData:
     behavior_freq = np.asarray(spec.behavior_freq, dtype=np.float64)
     behavior_freq = behavior_freq / behavior_freq.sum()
     base_time = datetime(2024, 1, 1, 12, 0, 0)
+    sequential = spec.cluster_stickiness > 0.0 or spec.item_pop_alpha > 0.0
+    if sequential:
+        # global successor graph + within-cluster Zipf popularity (see spec)
+        succ = rng.integers(0, spec.n_clusters,
+                            size=(spec.n_clusters, spec.succ_per_cluster))
+        cluster_items = [np.flatnonzero(item_cluster == c)
+                         for c in range(spec.n_clusters)]
+        nonempty = [c for c in range(spec.n_clusters) if len(cluster_items[c])]
+        safe = np.array([c if len(cluster_items[c]) else nonempty[c % len(nonempty)]
+                         for c in range(spec.n_clusters)])
+        pop_cdf = []
+        for c in range(spec.n_clusters):
+            k = max(len(cluster_items[c]), 1)
+            w = (np.arange(k) + 1.0) ** -spec.item_pop_alpha
+            pop_cdf.append(np.cumsum(w / w.sum()))
+        data.latent = {"item_cluster": item_cluster, "succ": succ,
+                       "cluster_items": cluster_items, "pop_cdf": pop_cdf}
+    else:
+        data.latent = {"item_cluster": item_cluster}
     for u in range(spec.n_users):
         pref = rng.dirichlet(np.full(spec.n_clusters, 0.3))
         item_w = pref[item_cluster] + 1e-4
@@ -119,15 +193,31 @@ def generate(spec: SyntheticSpec | None = None) -> SyntheticData:
         # At least min_sessions sessions so train/valid/test session split works.
         n_sessions = max(spec.min_sessions, int(np.ceil(n / spec.session_len)))
         n = max(n, n_sessions)  # at least one event per session
-        items = rng.choice(spec.n_items, size=n, p=item_w, replace=True).tolist()
-        behs = rng.choice(len(spec.behaviors), size=n, p=behavior_freq)
-        # every session ends with a target-behavior event so each split has targets
-        bounds = np.sort(rng.choice(np.arange(1, n), size=n_sessions - 1, replace=False)) if n_sessions > 1 else np.array([], dtype=int)
-        session_ids = np.zeros(n, dtype=np.int64)
-        for b in bounds:
-            session_ids[b:] += 1
-        for s_end in list(bounds - 1) + [n - 1]:
-            behs[s_end] = len(spec.behaviors) - 1
+        def draw_sessions():
+            # every session ends with a target-behavior event so each split
+            # has targets
+            behs = rng.choice(len(spec.behaviors), size=n, p=behavior_freq)
+            bounds = (np.sort(rng.choice(np.arange(1, n), size=n_sessions - 1,
+                                         replace=False))
+                      if n_sessions > 1 else np.array([], dtype=int))
+            session_ids = np.zeros(n, dtype=np.int64)
+            for b in bounds:
+                session_ids[b:] += 1
+            for s_end in list(bounds - 1) + [n - 1]:
+                behs[s_end] = len(spec.behaviors) - 1
+            return behs, session_ids
+
+        if sequential:
+            # behaviors are final before the item draw so stickiness can
+            # depend on the previous event's behavior level
+            behs, session_ids = draw_sessions()
+            items = _markov_items(rng, spec, np.cumsum(pref), succ,
+                                  cluster_items, pop_cdf, safe, n, behs)
+        else:
+            # legacy draw order preserved exactly (bit-identical corpora for
+            # existing specs/seeds)
+            items = rng.choice(spec.n_items, size=n, p=item_w, replace=True).tolist()
+            behs, session_ids = draw_sessions()
         t = base_time + timedelta(hours=int(rng.integers(0, 24 * 90)))
         times = []
         for s in session_ids:
