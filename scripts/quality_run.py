@@ -15,8 +15,8 @@ reference flagship recipe (ref README.md:59-73):
   -> 6 discriminative models via train_SMB_rec
 
 Stages run sequentially (the TPU is exclusive); each logs to
-runs/quality_r2/logs/<stage>.log and the summary lands in
-runs/quality_r2/summary.json. Re-running skips completed stages (marker files).
+runs/quality_r3/logs/<stage>.log and the summary lands in
+runs/quality_r3/summary.json. Re-running skips completed stages (marker files).
 """
 
 import json
@@ -26,7 +26,7 @@ import sys
 import time
 
 REPO = "/root/repo"
-OUT = os.path.join(REPO, "runs", "quality_r2")
+OUT = os.path.join(REPO, "runs", "quality_r3")
 DATA = os.path.join(OUT, "data")
 LOGS = os.path.join(OUT, "logs")
 DS = "SVADQ"
@@ -34,10 +34,10 @@ SEED = 7
 INDEX_RQVAE = ".index.epoch300.alpha0.02-beta0.0001.json"
 
 FLAGSHIP = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=30, patience=6, tasks="smb_explicit_decoder_4")
+                epochs=18, patience=4, tasks="smb_explicit_decoder_4")
 # short equal-budget ablation: relative tokenizer ordering, not best quality
 ABLATION = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=6, patience=4, tasks="smb_explicit_decoder_4")
+                epochs=6, patience=3, tasks="smb_explicit_decoder_4")
 
 
 def log(msg):
@@ -74,7 +74,11 @@ def gen_corpus():
         min_len=20, max_len=120,
         num_levels=4, level_sizes=(64, 64, 64, 64),
         behaviors=("click", "cart", "buy"), behavior_freq=(0.6, 0.25, 0.15),
-        session_len=6, min_sessions=4, emb_dim=128, seed=SEED)
+        session_len=6, min_sessions=4, emb_dim=128, seed=SEED,
+        # v2 sequential signal: true-oracle hit@10 0.233 vs rule floor 0.019
+        # at this geometry (12.5x headroom; see synthetic.py docstring)
+        cluster_stickiness=0.6, succ_per_cluster=3, item_pop_alpha=1.0,
+        behavior_stickiness_gain=0.4)
     t0 = time.time()
     write_synthetic_dataset(DATA, DS, spec)
     open(marker, "w").write(str(time.time()))
@@ -101,7 +105,7 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "test_SMB_decoder", "--dataset", DS, "--data_path", DATA,
         "--index_file", index_file, "--max_his_len", budget["max_his_len"],
         "--test_task", "smb_explicit", "--ckpt_path", ckpt,
-        "--test_batch_size", 128, "--num_beams", 20,
+        "--test_batch_size", 256, "--num_beams", 20,
         "--cache_dtype", "bfloat16",
         "--results_file", os.path.join(OUT, f"results_{tag}.json")],
         timeout_s=2 * 3600)
@@ -153,20 +157,23 @@ def main():
     # highest-value comparisons first (rqvae vs rid is the headline ordering)
     train_eval_decoder("abl_rqvae", "Qwen3Multi", INDEX_RQVAE, ABLATION)
     train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json", ABLATION)
-    train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
-                       ABLATION)
-    train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
-                       ABLATION)
 
-    # ---- discriminative zoo ------------------------------------------------
+    # ---- discriminative zoo (before the remaining ablation arms: a whole
+    # results table beats two extra rows if the round ends mid-run) ----------
     for backbone in ["SASRec", "BERT4Rec", "GRU4Rec", "MBHT", "MBSTR", "PBAT"]:
         run_stage(f"rec_{backbone}", [
             "train_SMB_rec", "--dataset", DS, "--data_path", DATA,
             "--backbone", backbone, "--max_his_len", 100,
-            "--epochs", 15, "--patience", 5, "--seed", SEED,
+            "--epochs", 10, "--patience", 4, "--seed", SEED,
             "--result_dir", os.path.join(OUT, f"rec_{backbone}"),
             "--output_dir", os.path.join(OUT, f"rec_{backbone}")],
             timeout_s=3 * 3600)
+
+    # ---- remaining ablation arms (sacrificeable if the round ends) ---------
+    train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
+                       ABLATION)
+    train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
+                       ABLATION)
 
     # ---- summary -----------------------------------------------------------
     summary = {}
