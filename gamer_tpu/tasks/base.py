@@ -37,10 +37,35 @@ class Task:
         setup_logging(task=self.name)
         self.param_dict = {k: v for k, v in args.items() if not k.startswith("_")}
         logger.info("task %s args: %s", self.name, self.param_dict)
+        for k in INERT_REF_FLAGS:
+            if args.get(k) is not None:
+                logger.warning(
+                    "--%s is accepted for reference-CLI compatibility but has "
+                    "no effect on the TPU runtime (docs/parity.md 'Known "
+                    "deliberate divergences')", k)
         return self.run(**args)
 
     def run(self, **args: Any) -> Any:
         raise NotImplementedError
+
+
+# reference flags that bind CUDA devices / loader workers / deepspeed config —
+# all covered natively by the TPU runtime (mesh sharding, arena collation).
+# Accepted so reference launch commands run unmodified; warned at invoke.
+INERT_REF_FLAGS = ("device", "num_workers", "gpu_id", "deepspeed", "root")
+_INERT_TYPES = {"num_workers": int, "gpu_id": int}
+
+
+def add_ref_compat_args(parser: argparse.ArgumentParser,
+                        *names: str) -> argparse.ArgumentParser:
+    """Register inert reference flags (subset of INERT_REF_FLAGS) so the
+    reference's launch commands are drop-in (ref e.g. RQVAE.py --device,
+    tokenize.py --device, semantic_emb.py --gpu_id, train_*.py --deepspeed)."""
+    g = parser.add_argument_group("reference-compat (accepted, no effect)")
+    for n in names:
+        g.add_argument(f"--{n}", type=_INERT_TYPES.get(n, str), default=None,
+                       help="reference flag; no effect on the TPU runtime")
+    return parser
 
 
 def add_global_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:

@@ -14,6 +14,8 @@ are row slices.
 
 from __future__ import annotations
 
+import argparse
+
 import os
 
 import jax
@@ -27,7 +29,8 @@ from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.contract import DataFiles
 from gamer_tpu.models.tokenizer.rqvae import RQVAE, RQVAEConfig, rqvae_loss
 from gamer_tpu.ops.kmeans import balanced_kmeans, cluster_codebook
-from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.base import (Task, add_dataset_args, add_global_args,
+                                 add_ref_compat_args)
 from gamer_tpu.train.state import OptimizerConfig, make_optimizer
 
 logger = get_logger("tasks.rqvae")
@@ -86,7 +89,7 @@ class TrainRQVAE(Task):
         g = parser.add_argument_group("rqvae")
         g.add_argument("--emb_file", type=str, default=None,
                        help="item embedding .npy (default <ds>.emb-synthetic-td.npy)")
-        g.add_argument("--cf_emb_file", type=str, default=None,
+        g.add_argument("--cf_emb_file", "--cf_emb", type=str, default=None,
                        help="CF embedding .npy/.pt for the alignment loss")
         g.add_argument("--epochs", type=int, default=2000)
         g.add_argument("--batch_size", type=int, default=1024)
@@ -120,6 +123,10 @@ class TrainRQVAE(Task):
         g.add_argument("--quant_loss_weight", type=float, default=1.0)
         g.add_argument("--learner", "--optim", type=str, default="adamw",
                        help="optimizer family (ref RQVAE.py:39)")
+        g.add_argument("--ckpt_dir", dest="output_dir",
+                       default=argparse.SUPPRESS,
+                       help="alias of --output_dir (ref RQVAE.py:100)")
+        add_ref_compat_args(parser, "device", "num_workers")
         g.add_argument("--recluster_every", type=int, default=1,
                        help="epochs between diversity re-clustering")
         return parser

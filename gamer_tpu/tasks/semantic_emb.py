@@ -26,7 +26,8 @@ import numpy as np
 from gamer_tpu.core.logging import get_logger
 from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.contract import DataFiles
-from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.base import (Task, add_dataset_args, add_global_args,
+                                 add_ref_compat_args)
 
 logger = get_logger("tasks.semantic_emb")
 
@@ -113,6 +114,7 @@ class SemEmb(Task):
     def add_args(cls, parser):
         add_global_args(parser)
         add_dataset_args(parser)
+        add_ref_compat_args(parser, "gpu_id", "root")
         g = parser.add_argument_group("sememb")
         g.add_argument("--plm_name", type=str, default="hash")
         g.add_argument("--plm_checkpoint", type=str, default=None,

@@ -31,7 +31,8 @@ from gamer_tpu.core.registry import TASKS
 from gamer_tpu.data.contract import DataFiles
 from gamer_tpu.models.tokenizer.rqvae import RQVAE, RQVAEConfig
 from gamer_tpu.ops.sinkhorn import balanced_assign
-from gamer_tpu.tasks.base import Task, add_dataset_args, add_global_args
+from gamer_tpu.tasks.base import (Task, add_dataset_args, add_global_args,
+                                 add_ref_compat_args)
 from gamer_tpu.tasks.rqvae import load_embeddings
 
 logger = get_logger("tasks.tokenize")
@@ -62,14 +63,29 @@ class Tokenize(Task):
         g = parser.add_argument_group("tokenize")
         g.add_argument("--mode", type=str, default="rq_vae",
                        choices=["rq_vae", "rq_kmeans", "cid", "rid"])
+        # reference mode surface: boolean selectors instead of --mode
+        # (ref tokenize.py:48-52 --rq_kmeans, :79-83 --cid, :96-99 --rid)
+        g.add_argument("--rq_kmeans", action="store_true",
+                       help="alias of --mode rq_kmeans (ref flag)")
+        g.add_argument("--cid", action="store_true",
+                       help="alias of --mode cid (ref flag)")
+        g.add_argument("--rid", action="store_true",
+                       help="alias of --mode rid (ref flag)")
         g.add_argument("--emb_file", type=str, default=None)
-        g.add_argument("--ckpt_path", type=str, default="./checkpoint")
+        g.add_argument("--ckpt_path", "--root_path", type=str,
+                       default="./checkpoint")
         g.add_argument("--ckpt_tag", type=str, default="best_collision")
+        g.add_argument("--checkpoint", type=str, default=None,
+                       help="checkpoint FILE name, e.g. best_collision_model.pth"
+                            " (ref tokenize.py:72-77); mapped onto --ckpt_tag")
         g.add_argument("--epoch", type=int, default=0, help="epoch label in output name")
         g.add_argument("--alpha", type=str, default="0.02")
         g.add_argument("--beta", type=str, default="0.0001")
-        g.add_argument("--num_code_list", type=str, default="256,256,256")
-        g.add_argument("--cf_emb_file", type=str, default=None)
+        g.add_argument("--num_code_list", type=str, nargs="+",
+                       default="256,256,256",
+                       help="comma list (ours) or space-separated ints (ref)")
+        g.add_argument("--cf_emb_file", "--cf_emb", type=str, default=None)
+        add_ref_compat_args(parser, "device")
         g.add_argument("--reduce", action="store_true",
                        help="PCA-reduce text embeddings to the CF dim before "
                             "concatenation (ref tokenize.py:166-169)")
@@ -81,7 +97,20 @@ class Tokenize(Task):
 
     def run(self, *, dataset, data_path, seed, mode, emb_file, ckpt_path,
             ckpt_tag, epoch, alpha, beta, num_code_list, cf_emb_file,
-            chunk_size, shuffle, n_items, reduce=False, **_):
+            chunk_size, shuffle, n_items, reduce=False, rq_kmeans=False,
+            cid=False, rid=False, checkpoint=None, **_):
+        # reference boolean selectors win over --mode's default
+        for flag, m in ((rq_kmeans, "rq_kmeans"), (cid, "cid"), (rid, "rid")):
+            if flag:
+                mode = m
+        if checkpoint:  # "best_collision_model.pth" -> tag "best_collision"
+            ckpt_tag = checkpoint.removesuffix(".pth").removesuffix("_model")
+        if isinstance(num_code_list, list):  # ref nargs form vs comma string
+            codes_list = ([int(v) for v in num_code_list[0].split(",")]
+                          if len(num_code_list) == 1 else
+                          [int(v) for v in num_code_list])
+        else:
+            codes_list = [int(v) for v in num_code_list.split(",")]
         files = DataFiles(data_path, dataset)
         self.files = files
         np.random.seed(seed)
@@ -89,12 +118,11 @@ class Tokenize(Task):
             n = n_items or len(files.load_item_meta())
             if mode == "cid":
                 return self.run_cid(files, chunk_size, n, shuffle)
-            return self.run_rid(files, [int(v) for v in num_code_list.split(",")], n)
+            return self.run_rid(files, codes_list, n)
         emb_path = emb_file or files.path(".emb-synthetic-td.npy")
         x = load_embeddings(emb_path)
         if mode == "rq_kmeans":
-            return self.run_rq_kmeans(files, x, [int(v) for v in num_code_list.split(",")],
-                                      cf_emb_file, reduce)
+            return self.run_rq_kmeans(files, x, codes_list, cf_emb_file, reduce)
         return self.run_rq_vae(files, x, ckpt_path, ckpt_tag, epoch, alpha, beta)
 
     # ---- RQ-VAE ------------------------------------------------------------

@@ -25,7 +25,7 @@ from gamer_tpu.models.generative.qwen_family import (
     QWEN_FAMILY_PRESETS, QwenFamilyModel, build_config, prepare_train_inputs)
 from gamer_tpu.tasks.base import (
     Task, add_dataset_args, add_global_args, add_hf_train_args,
-    resolve_hf_train_args)
+    add_ref_compat_args, resolve_hf_train_args)
 from gamer_tpu.tasks.train_smb_decoder import _lcm, make_loss_fn
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
 from gamer_tpu.train.state import OptimizerConfig, schedule_horizon
@@ -79,6 +79,12 @@ class TrainDecoder(Task):
         g.add_argument("--model_max_length", type=int, default=1024)
         g.add_argument("--n_layers", type=int, default=0)
         g.add_argument("--hidden_size", type=int, default=0)
+        g.add_argument("--lr_scheduler_type", type=str, default="cosine")
+        g.add_argument("--resume_from_checkpoint", action="store_true",
+                       help="resume params/optimizer/epoch from output_dir")
+        g.add_argument("--wandb_run_name", type=str, default=None,
+                       help="run name in the metric stream (ref wandb name)")
+        add_ref_compat_args(parser, "deepspeed")
         add_hf_train_args(parser)
         return parser
 
@@ -86,7 +92,8 @@ class TrainDecoder(Task):
             base_model, output_dir, seed, inter_type, epochs, batch_size,
             learning_rate, weight_decay, warmup_ratio, temperature, patience,
             model_max_length, tasks="seqrec", n_layers=0, hidden_size=0,
-            **extra):
+            lr_scheduler_type="cosine", resume_from_checkpoint=False,
+            wandb_run_name=None, **extra):
         hf = resolve_hf_train_args(extra, batch_size=batch_size)
         # task-string parity: "seqrec" | "seqrec_<type>" selects the
         # interaction file variant (ref loading.py:17-41)
@@ -138,13 +145,16 @@ class TrainDecoder(Task):
                                     learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
+                                    lr_scheduler_type=lr_scheduler_type,
                                     total_steps=schedule_horizon(
                                         len(train), micro, accum, epochs)),
             loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                      gradient_accumulation_steps=accum,
+                                     resume=resume_from_checkpoint,
                                      **hf["loop_kwargs"]),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
+                                       run_name=wandb_run_name,
                                        config=getattr(self, "param_dict", {})))
 
         # multi-process: each process feeds ITS stride-shard at micro/pc rows

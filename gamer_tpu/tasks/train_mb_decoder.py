@@ -23,7 +23,7 @@ from gamer_tpu.models.generative.encdec_utils import encdec_loss_fn, prepare_enc
 from gamer_tpu.models.generative.qwen_family import prepare_train_inputs
 from gamer_tpu.tasks.base import (
     Task, add_dataset_args, add_global_args, add_hf_train_args,
-    resolve_hf_train_args)
+    add_ref_compat_args, resolve_hf_train_args)
 from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES, build_seq_model
 from gamer_tpu.tasks.train_smb_decoder import _lcm, make_loss_fn
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
@@ -83,13 +83,21 @@ class TrainMBDecoder(Task):
         g.add_argument("--model_max_length", type=int, default=1024)
         g.add_argument("--n_layers", type=int, default=0)
         g.add_argument("--hidden_size", type=int, default=0)
+        g.add_argument("--lr_scheduler_type", type=str, default="cosine")
+        g.add_argument("--resume_from_checkpoint", action="store_true",
+                       help="resume params/optimizer/epoch from output_dir")
+        g.add_argument("--wandb_run_name", type=str, default=None,
+                       help="run name in the metric stream (ref wandb name)")
+        add_ref_compat_args(parser, "deepspeed")
         add_hf_train_args(parser)
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, tasks, backbone,
             base_model, output_dir, seed, epochs, batch_size, learning_rate,
             weight_decay, warmup_ratio, temperature, patience, filter_target,
-            model_max_length, n_layers=0, hidden_size=0, **extra):
+            model_max_length, n_layers=0, hidden_size=0,
+            lr_scheduler_type="cosine", resume_from_checkpoint=False,
+            wandb_run_name=None, **extra):
         hf = resolve_hf_train_args(extra, batch_size=batch_size)
         corpus, layout, train, valid = load_mb_train(
             dataset, data_path, max_his_len, index_file, tasks, filter_target)
@@ -135,13 +143,16 @@ class TrainMBDecoder(Task):
                                     learning_rate=learning_rate,
                                     weight_decay=weight_decay,
                                     warmup_ratio=warmup_ratio,
+                                    lr_scheduler_type=lr_scheduler_type,
                                     total_steps=schedule_horizon(
                                         len(train), micro, accum, epochs)),
             loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                      gradient_accumulation_steps=accum,
+                                     resume=resume_from_checkpoint,
                                      **hf["loop_kwargs"]),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),
+                                       run_name=wandb_run_name,
                                        config=getattr(self, "param_dict", {})))
         # multi-process: each process feeds ITS stride-shard at micro/pc rows
         # per step; shard_batch assembles the global array (core/distributed)

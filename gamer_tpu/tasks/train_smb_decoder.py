@@ -27,7 +27,7 @@ from gamer_tpu.models.generative.qwen_family import (
 from gamer_tpu.modules.losses import causal_lm_loss_with_denom
 from gamer_tpu.tasks.base import (
     Task, add_dataset_args, add_global_args, add_hf_train_args,
-    resolve_hf_train_args)
+    add_ref_compat_args, resolve_hf_train_args)
 from gamer_tpu.train.loop import Trainer, TrainLoopConfig
 from gamer_tpu.train.state import OptimizerConfig, schedule_horizon
 
@@ -121,6 +121,9 @@ class TrainSMBDecoder(Task):
                        help="write a jax.profiler trace of a few steps here")
         g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
         g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
+        g.add_argument("--wandb_run_name", type=str, default=None,
+                       help="run name in the metric stream (ref wandb name)")
+        add_ref_compat_args(parser, "deepspeed")
         add_hf_train_args(parser)
         return parser
 
@@ -130,7 +133,7 @@ class TrainSMBDecoder(Task):
             temperature, patience, only_train_response, model_max_length, dtype,
             n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto",
             resume_from_checkpoint=False, save_epochs=0, profile_dir=None,
-            **extra):
+            wandb_run_name=None, **extra):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
@@ -210,7 +213,7 @@ class TrainSMBDecoder(Task):
         logger.info("parameters: %.2fM", n_params / 1e6)
 
         writer = MetricWriter(os.path.join("runs", self.name),
-                              run_name=f"{dataset}-{backbone}",
+                              run_name=wandb_run_name or f"{dataset}-{backbone}",
                               config=getattr(self, "param_dict", {}))
         trainer = Trainer(
             loss_fn=self._wrap_loss(model, cfg), params={"params": params},

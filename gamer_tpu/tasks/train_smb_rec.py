@@ -191,12 +191,20 @@ class TrainSMBRec(Task):
                             "PBAT and *_uid task strings imply it)")
         g.add_argument("--optim", type=str, default="adamw",
                        help="adam|sgd|adagrad|rmsprop|adamw (ref SMBRec.py:46-76)")
+        g.add_argument("--test_task", type=str, default=None,
+                       help="eval task string (ref train_SMB_rec.py:84); "
+                            "default: derive the eval variant from --tasks")
+        g.add_argument("--logging_step", type=int, default=0,
+                       help="log running train loss every N steps (ref :69)")
+        g.add_argument("--wandb_run_name", type=str, default=None,
+                       help="run name in the metric stream (ref wandb name)")
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, tasks, backbone,
             base_model, output_dir, seed, epochs, batch_size, learning_rate,
             weight_decay, patience, metrics, main_metric, result_dir, only_test,
-            eval_batch_size, add_uid=False, optim="adamw", **_):
+            eval_batch_size, add_uid=False, optim="adamw", test_task=None,
+            logging_step=0, wandb_run_name=None, **_):
         import jax
         import jax.numpy as jnp
         import optax
@@ -206,7 +214,6 @@ class TrainSMBRec(Task):
         # smb_dis[_sample][_diff][_target|_neg|_decoder][_uid]
         task_parts = set(tasks.lower().split("_"))
         diff = "diff" in task_parts
-        sampled_eval = "sample" in task_parts
         builder = SMBDisBuilder(corpus, max_his_len, diff=diff,
                                 add_uid=add_uid or (backbone == "PBAT")
                                 or "uid" in task_parts)
@@ -224,7 +231,9 @@ class TrainSMBRec(Task):
             train = [e for e in train
                      if int(e.target_behaviors[0]) == corpus.target_behavior_idx]
         masked = backbone in MASKED_MODELS
-        num_neg = 1000 if sampled_eval else 0
+        # eval variant: --test_task overrides the train task string (ref :84)
+        eval_parts = set(test_task.lower().split("_")) if test_task else task_parts
+        num_neg = 1000 if "sample" in eval_parts else 0
         valid = builder.build_eval("valid", append_mask_slot=masked, num_neg=num_neg)
         test = builder.build_eval("test", append_mask_slot=masked, num_neg=num_neg)
         metric_list = metrics.split(",")
@@ -325,6 +334,7 @@ class TrainSMBRec(Task):
             return sums, count
 
         writer = MetricWriter(os.path.join("runs", self.name),
+                              run_name=wandb_run_name,
                               config=getattr(self, "param_dict", {}))
         ckpt = CheckpointManager(output_dir)
         best = -np.inf
@@ -341,6 +351,9 @@ class TrainSMBRec(Task):
                     variables, opt_state, loss = train_step(
                         variables, opt_state, batch, jax.random.fold_in(rng, epoch * 10007 + s))
                     losses.append(float(loss))
+                    if logging_step and len(losses) % logging_step == 0:
+                        logger.info("epoch %d step %d: loss %.4f", epoch,
+                                    len(losses), np.mean(losses[-logging_step:]))
                 sums, count = evaluate(valid, variables,
                                        behavior_filter=corpus.target_behavior_idx)
                 metric = sums.get(main_metric, 0.0) / max(count, 1)
