@@ -1,5 +1,6 @@
 """SemEmb task + full 11-pipeline registry + multi-device sharded training."""
 
+import os
 import sys
 
 import numpy as np
@@ -230,3 +231,39 @@ def test_shipped_config_dirs_load():
         DisModelConfig.from_file(os.path.join(dis, name))
     mbht = DisModelConfig.from_file(os.path.join(dis, "MBHT"))
     assert mbht.scales == [5, 4, 20] and mbht.hyper_len == 6
+
+
+def test_reference_flag_parity_audit():
+    """Every --flag the reference tasks accept must be accepted by our CLI
+    (real mapping or documented inert passthrough, docs/parity.md divergence
+    7). Skipped when the reference checkout is absent."""
+    import re
+    import subprocess
+
+    ref_dir = "/root/reference/SeqRec/tasks"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not available")
+    pairs = {
+        "RQVAE.py": "RQVAE", "semantic_emb.py": "SemEmb",
+        "tokenize.py": "tokenize", "train_decoder.py": "train_decoder",
+        "train_MB_decoder.py": "train_MB_decoder",
+        "train_SMB_decoder.py": "train_SMB_decoder",
+        "train_SMB_rec.py": "train_SMB_rec", "test_decoder.py": "test_decoder",
+        "test_MB_decoder.py": "test_MB_decoder",
+        "test_SMB_decoder.py": "test_SMB_decoder",
+        "test_SMB_rule.py": "test_SMB_rule",
+    }
+    base = open(os.path.join(ref_dir, "base.py")).read()
+    missing = {}
+    for ref, task in pairs.items():
+        src = open(os.path.join(ref_dir, ref)).read()
+        flags = set(re.findall(r'add_argument\(\s*"(--[\w-]+)"', src + base))
+        h = subprocess.run(
+            [sys.executable, "main.py", task, "--help"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}).stdout
+        ours = set(re.findall(r"(--[\w-]+)", h))
+        gone = sorted(f for f in flags if f not in ours)
+        if gone:
+            missing[task] = gone
+    assert not missing, f"reference flags we no longer accept: {missing}"
