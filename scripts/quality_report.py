@@ -7,11 +7,14 @@ into docs/benchmarks.md. Safe to run mid-flight — missing stages are skipped.
 """
 
 import glob
+import io
 import json
 import os
 import sys
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/quality_r2"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = args[0] if args else "/root/repo/runs/quality_r3"
+WRITE = "--write" in sys.argv  # patch docs/benchmarks.md between markers
 KEYS = ["hit@1", "hit@5", "hit@10", "recall@10", "ndcg@10"]
 
 
@@ -27,7 +30,7 @@ def merged(path):
     return r.get("merged", r.get("metrics", r))
 
 
-def main():
+def render():
     header = "| | " + " | ".join(KEYS) + " |"
     sep = "|---" * (len(KEYS) + 1) + "|"
 
@@ -62,6 +65,25 @@ def main():
         m = {k: sum(v.get(k, 0.0) * v.get("count", 0) for v in r.values()) / total
              for k in KEYS}
         print(row(name, m))
+
+
+def main():
+    buf = io.StringIO()
+    stdout, sys.stdout = sys.stdout, buf
+    try:
+        render()
+    finally:
+        sys.stdout = stdout
+    text = buf.getvalue()
+    print(text)
+    if WRITE:
+        doc = "/root/repo/docs/benchmarks.md"
+        b, e = "<!-- quality-results:begin -->", "<!-- quality-results:end -->"
+        src = open(doc).read()
+        head, rest = src.split(b, 1)
+        _, tail = rest.split(e, 1)
+        open(doc, "w").write(head + b + "\n" + text + e + tail)
+        print(f"[written into {doc}]")
 
 
 if __name__ == "__main__":
