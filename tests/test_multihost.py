@@ -79,3 +79,27 @@ def test_shard_examples_stride_and_truncation():
     # disjoint cover of a prefix of the example set
     assert sorted(s0 + s1 + s2) == sorted(set(s0 + s1 + s2))
     assert shard_examples(ex, index=0, count=1) == ex
+
+
+def test_maybe_initialize_unconfigured_touches_no_backend():
+    """With no rendezvous config, maybe_initialize must return False WITHOUT
+    initializing the JAX backend: querying process_count would open a TPU
+    client on every CLI invocation (even --help), which wedges a single-tenant
+    chip's tunnel if a training process is live."""
+    code = (
+        "import os\n"
+        "for k in ('GAMER_COORDINATOR','GAMER_NUM_PROCESSES',"
+        "'GAMER_PROCESS_ID','GAMER_DISTRIBUTED'):\n"
+        "    os.environ.pop(k, None)\n"
+        "from gamer_tpu.core import distributed\n"
+        "assert distributed.maybe_initialize() is False\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, f'backend initialized: {list(xb._backends)}'\n"
+        "print('no-backend ok')\n"
+    )
+    env = {k: v for k, v in os.environ.items()}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0 and "no-backend ok" in p.stdout, (
+        p.stdout + p.stderr)
