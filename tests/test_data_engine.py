@@ -271,3 +271,42 @@ class TestExampleStore:
         for i in range(4):
             p = len(examples[i].prompt)
             assert (batch["labels"][i, :p] == IGNORE_LABEL).all()
+
+
+def test_synthetic_v2_sequential_signal():
+    """The v2 corpus knobs must create signal a sequence model can exploit and
+    the repeat-history rule cannot: items following a sticky step land in the
+    previous item's successor clusters far above chance, item popularity is
+    Zipf-skewed, and the legacy (knobs-off) draw stays bit-identical."""
+    from gamer_tpu.data.synthetic import SyntheticSpec, generate
+
+    base = dict(n_users=300, n_items=600, n_clusters=16, min_len=30,
+                max_len=60, seed=11)
+    v2 = generate(SyntheticSpec(**base, cluster_stickiness=0.7,
+                                item_pop_alpha=1.0,
+                                behavior_stickiness_gain=0.4))
+    ic = v2.latent["item_cluster"]
+    succ = v2.latent["succ"]
+    # successor-cluster hit rate across consecutive pairs ~ stickiness-driven
+    hits = total = 0
+    for u, items in v2.inters.items():
+        cl = ic[np.asarray(items)]
+        for a, b in zip(cl[:-1], cl[1:]):
+            hits += b in succ[a]
+            total += 1
+    frac = hits / total
+    # chance level ~ succ_per_cluster / n_clusters = 3/16 = 0.19; sticky draws
+    # push consecutive-successor frequency far above it
+    assert frac > 0.45, f"successor-cluster rate {frac:.3f} too low"
+    # Zipf popularity: the top-10% most frequent items carry a large share
+    counts = np.bincount(np.concatenate([np.asarray(v)
+                                         for v in v2.inters.values()]),
+                         minlength=base["n_items"])
+    top = np.sort(counts)[::-1]
+    share = top[: base["n_items"] // 10].sum() / counts.sum()
+    assert share > 0.3, f"top-decile share {share:.3f} not skewed"
+
+    # legacy path bit-identity: knobs off twice -> identical corpora
+    a = generate(SyntheticSpec(**base))
+    b = generate(SyntheticSpec(**base))
+    assert a.inters == b.inters and a.behaviors == b.behaviors
