@@ -44,6 +44,46 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+STALL_S = 1800  # no child log output for this long = wedged tunnel
+COOLDOWN_S = 300  # tunnel needs minutes after a killed TPU client
+
+
+def _tpu_alive() -> bool:
+    p = subprocess.run([sys.executable, "-c",
+                        "import jax, numpy as np\n"
+                        "x = jax.numpy.ones((256, 256))\n"
+                        "print(float(np.asarray((x @ x).sum())))"],
+                       cwd=REPO, capture_output=True, timeout=120)
+    return p.returncode == 0
+
+
+def _run_once(name, argv, logf, timeout_s):
+    """Run one stage attempt; kill the child on log-output stall (wedged
+    tunnel, observed 20-90 min mid-eval). Returns (rc, stalled)."""
+    with open(logf, "a") as f:
+        p = subprocess.Popen([sys.executable, "main.py"]
+                             + [str(a) for a in argv],
+                             cwd=REPO, stdout=f, stderr=subprocess.STDOUT)
+    t0 = time.time()
+    while True:
+        try:
+            rc = p.wait(timeout=30)
+            return rc, False
+        except subprocess.TimeoutExpired:
+            pass
+        quiet = time.time() - os.path.getmtime(logf)
+        if quiet > STALL_S:
+            log(f"stage {name}: no output for {quiet:.0f}s — killing pid {p.pid}")
+            p.kill()
+            p.wait()
+            return -1, True
+        if time.time() - t0 > timeout_s:
+            log(f"stage {name}: timeout {timeout_s}s — killing pid {p.pid}")
+            p.kill()
+            p.wait()
+            return -1, False
+
+
 def run_stage(name, argv, timeout_s=7200):
     marker = os.path.join(OUT, f".done.{name}")
     if os.path.exists(marker):
@@ -51,16 +91,32 @@ def run_stage(name, argv, timeout_s=7200):
         return
     log(f"stage {name}: {' '.join(map(str, argv))}")
     logf = os.path.join(LOGS, f"{name}.log")
+    open(logf, "a").close()
     t0 = time.time()
-    with open(logf, "w") as f:
-        p = subprocess.run([sys.executable, "main.py"] + [str(a) for a in argv],
-                           cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
-                           timeout=timeout_s)
-    if p.returncode != 0:
-        log(f"stage {name} FAILED (rc={p.returncode}) — see {logf}")
-        sys.exit(1)
-    open(marker, "w").write(str(time.time()))
-    log(f"stage {name} ok ({time.time() - t0:.0f}s)")
+    for attempt in range(3):
+        rc, stalled = _run_once(name, argv, logf, timeout_s)
+        if rc == 0:
+            open(marker, "w").write(str(time.time()))
+            log(f"stage {name} ok ({time.time() - t0:.0f}s)")
+            return
+        if not stalled:
+            log(f"stage {name} FAILED (rc={rc}) — see {logf}")
+            sys.exit(1)
+        # wedged tunnel: cool down, wait for a live probe, then retry —
+        # train stages resume from last_state (--resume_from_checkpoint is
+        # appended by train_eval_decoder when a checkpoint exists)
+        log(f"stage {name}: stall recovery, attempt {attempt + 1}")
+        time.sleep(COOLDOWN_S)
+        for _ in range(20):
+            if _tpu_alive():
+                break
+            time.sleep(150)
+        if "train_SMB_decoder" in argv[0] and "--resume_from_checkpoint" not in argv:
+            ckpt = argv[argv.index("--output_dir") + 1]
+            if os.path.exists(os.path.join(str(ckpt), "last_state")):
+                argv = list(argv) + ["--resume_from_checkpoint"]
+    log(f"stage {name} FAILED after stall retries — see {logf}")
+    sys.exit(1)
 
 
 def gen_corpus():
