@@ -34,9 +34,35 @@ STEPS_LO = 5
 STEPS_HI = 50
 
 
+def _probe_device(timeout_s: float = 240.0):
+    """Fail fast with an explicit error line if the TPU tunnel is wedged
+    (observed multi-hour stalls, CLAUDE.md) instead of hanging the caller.
+    The probe runs in a subprocess so a hung backend init can be killed."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, numpy as np\n"
+         "x = jax.numpy.ones((256, 256))\n"
+         "print(float(np.asarray((x @ x).sum())))"],
+        capture_output=True, timeout=timeout_s)
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr.decode()[-500:])
+
+
 def main():
     import jax
     import optax
+
+    try:
+        _probe_device()
+    except Exception as e:  # wedged tunnel / unreachable device
+        print(json.dumps({"metric": "train_seqs_per_sec_per_chip",
+                          "value": None, "unit": "seq/s/chip",
+                          "vs_baseline": None,
+                          "error": f"device unreachable: {e}"[:300]}))
+        raise SystemExit(1)
 
     from __graft_entry__ import _flagship_config, _make_batch
     from gamer_tpu.models.generative.qwen_family import (
