@@ -127,6 +127,14 @@ class MeshContext:
                 # over the data axis (which spans all processes' devices)
                 if x.ndim >= 1 and (x.shape[0] * pc) % self.n_data == 0:
                     return jax.make_array_from_process_local_data(sh, x)
+                if x.ndim >= 1:
+                    # Replicating here would assemble a "global replicated"
+                    # array from per-process-local values that differ across
+                    # processes — silently inconsistent. Fail loudly instead.
+                    raise ValueError(
+                        f"multi-process batch leaf shape {x.shape}: global rows "
+                        f"{x.shape[0] * pc} not divisible by data axis "
+                        f"{self.n_data}; pad the batch (see local_batch_size)")
                 return jax.make_array_from_process_local_data(rep, x)
 
         return jax.tree_util.tree_map(put, batch)

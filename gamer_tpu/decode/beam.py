@@ -38,7 +38,17 @@ NEG = -1e30
 @dataclass(frozen=True)
 class BeamSearchConfig:
     num_beams: int = 20
-    cache_dtype: str = "float32"  # "bfloat16" halves decode HBM
+    # "auto" = bfloat16 on TPU (halves decode HBM — the 31k beams/s config,
+    # docs/benchmarks.md), float32 elsewhere; parity pinned by
+    # tests/test_decode_parity_flagship.py bf16-cache cases.
+    cache_dtype: str = "auto"
+
+
+def resolve_cache_dtype(name: str):
+    """Same shape as the --dtype auto rule (tasks/train_smb_decoder.py)."""
+    if name == "auto":
+        name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
 def _tile_beams(tree, num_beams: int):
@@ -131,7 +141,7 @@ def constrained_beam_search(
     L = trie.num_levels
     K = search_cfg.num_beams
     B, S = batch["input_ids"].shape
-    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
+    cache_dtype = resolve_cache_dtype(search_cfg.cache_dtype)
 
     allowed_tables = [jnp.asarray(a) for a in trie.allowed]
     child_tables = [jnp.asarray(c) for c in trie.child]
@@ -279,7 +289,7 @@ def constrained_beam_search_encdec(
     per_row_prefix = decoder_prefix.ndim == 2  # [B, P0] (per-example behavior)
     P0 = decoder_prefix.shape[-1]
     cache_len = P0 + L
-    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[search_cfg.cache_dtype]
+    cache_dtype = resolve_cache_dtype(search_cfg.cache_dtype)
 
     allowed_tables = [jnp.asarray(a) for a in trie.allowed]
     child_tables = [jnp.asarray(c) for c in trie.child]

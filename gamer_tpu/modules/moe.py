@@ -158,6 +158,11 @@ class PositionRoutedMLP(nn.Module):
                 # total_experts x dense (the onehot path).
                 assert self.num_behavior > 0
                 e0 = expert_index.reshape(b, s // P, P)[:, :, 0]  # block's first expert id
+                # a_blk == 0 (pad/eos) blocks output ZERO here, while the
+                # onehot path routes them through expert 0 — full logit
+                # tensors differ on pad positions across route modes. Loss-
+                # invariant: pad labels are ignored and pad keys are masked
+                # (see test_moe_action_periodic_equals_onehot).
                 a_blk = jnp.where(e0 > 0, (e0 - 1) // P + 1, 0)  # 0 = pad/eos block
                 out = jnp.zeros((b, s // P, P, self.d_out), dtype=x_in.dtype)
                 for a in range(1, self.num_behavior + 1):

@@ -128,8 +128,14 @@ def resolve_hf_train_args(args: dict, *, batch_size: int,
         micro = batch_size
         accum = 1
     if args.get("bf16"):
+        if dtype not in ("auto", "bfloat16"):
+            logger.warning("--bf16 overrides explicit --dtype %s -> bfloat16; "
+                           "drop one of the flags to silence this", dtype)
         dtype = "bfloat16"
     if args.get("fp16"):
+        if dtype not in ("auto", "bfloat16"):
+            logger.warning("--fp16 overrides explicit --dtype %s -> bfloat16; "
+                           "drop one of the flags to silence this", dtype)
         logger.warning("--fp16: TPU has no fp16 compute; using bfloat16 "
                        "(docs/parity.md 'Known deliberate divergences')")
         dtype = "bfloat16"

@@ -36,9 +36,27 @@ from gamer_tpu.train.state import OptimizerConfig, make_optimizer
 logger = get_logger("tasks.rqvae")
 
 
+def _load_tensor_file(path: str) -> np.ndarray:
+    """Load a .npy or torch .pt/.pth tensor pickle as float32 numpy.
+
+    The reference ships its real CF embeddings as torch pickles
+    (ref tasks/RQVAE.py:161-165, pretrained_ckpt/cf-embs/*-32d-sasrec.pt).
+    """
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(t, dict):  # state-dict style: take the single tensor
+            if len(t) != 1:
+                raise ValueError(f"{path}: expected one tensor, got keys {list(t)}")
+            t = next(iter(t.values()))
+        return np.asarray(t.detach().to(torch.float32).numpy())
+    return np.load(path).astype(np.float32)
+
+
 def load_embeddings(path: str) -> np.ndarray:
     """ref datasets/emb_dataset.py:7-27 (std-normalize when too flat)."""
-    emb = np.load(path).astype(np.float32)
+    emb = _load_tensor_file(path)
     std = emb.std()
     if std < 0.2:
         logger.warning("embedding std %.4f too low; normalizing", std)
@@ -144,7 +162,7 @@ class TrainRQVAE(Task):
 
         cf = None
         if alpha > 0 and cf_emb_file:
-            cf = np.load(cf_emb_file).astype(np.float32)
+            cf = _load_tensor_file(cf_emb_file)
             assert len(cf) == n, "CF embedding rows must match items"
         elif alpha > 0:
             logger.warning("no --cf_emb_file given; disabling CF loss")

@@ -48,7 +48,7 @@ def load_generative_model(ckpt_path: str, ckpt_tag: str = "best"):
 
 
 def run_seq_eval(model, cfg, params, vocab, family, corpus, examples,
-                 num_beams, batch_size, metric_list, cache_dtype="float32",
+                 num_beams, batch_size, metric_list, cache_dtype="auto",
                  behavior_token=None, action_level=None, behavior_emb_id=0,
                  trie=None):
     """Shared beam-search eval over single-target examples. Returns metric sums
@@ -158,12 +158,14 @@ class TestDecoder(Task):
         g.add_argument("--num_beams", type=int, default=20)
         g.add_argument("--metrics", type=str,
                        default="hit@1,hit@5,hit@10,recall@1,recall@5,recall@10,ndcg@5,ndcg@10")
-        g.add_argument("--cache_dtype", type=str, default="float32")
+        g.add_argument("--cache_dtype", type=str, default="auto",
+                       choices=["auto", "float32", "bfloat16"],
+                       help="auto = bfloat16 on TPU, float32 elsewhere")
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, inter_type,
             ckpt_path, ckpt_tag, results_file, test_batch_size, num_beams,
-            metrics, cache_dtype="float32", test_task="SeqRec", filter=False,
+            metrics, cache_dtype="auto", test_task="SeqRec", filter=False,
             **_):
         t = (test_task or "SeqRec").lower()
         if t.startswith("seqrec_") and inter_type is None:

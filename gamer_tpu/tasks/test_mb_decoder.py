@@ -54,12 +54,14 @@ class TestMBDecoder(Task):
         g.add_argument("--test_task", type=str, default="mb_explicit")
         g.add_argument("--filter", action="store_true",
                        help="drop collision-target samples (ref :66-94)")
-        g.add_argument("--cache_dtype", type=str, default="float32")
+        g.add_argument("--cache_dtype", type=str, default="auto",
+                       choices=["auto", "float32", "bfloat16"],
+                       help="auto = bfloat16 on TPU, float32 elsewhere")
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, test_task,
             ckpt_path, ckpt_tag, results_file, test_batch_size, num_beams,
-            metrics, filter, cache_dtype="float32", **_):
+            metrics, filter, cache_dtype="auto", **_):
         model, cfg, params, vocab, family = load_generative_model(ckpt_path, ckpt_tag)
         corpus = SeqCorpus(DataFiles(data_path, dataset), index_file, multi_behavior=True)
         layout = layout_for_mb_task(test_task)

@@ -56,13 +56,14 @@ class TestSMBDecoder(Task):
         g.add_argument("--test_task", type=str, default="smb_explicit")
         g.add_argument("--behaviors", type=str, nargs="+", default=None)
         g.add_argument("--valid_loss", action="store_true")
-        g.add_argument("--cache_dtype", type=str, default="float32",
-                       choices=["float32", "bfloat16"])
+        g.add_argument("--cache_dtype", type=str, default="auto",
+                       choices=["auto", "float32", "bfloat16"],
+                       help="auto = bfloat16 on TPU, float32 elsewhere")
         return parser
 
     def run(self, *, dataset, data_path, index_file, max_his_len, test_task,
             ckpt_path, ckpt_tag, results_file, test_batch_size, num_beams,
-            metrics, behaviors, valid_loss, cache_dtype="float32", **_):
+            metrics, behaviors, valid_loss, cache_dtype="auto", **_):
         from gamer_tpu.tasks.test_decoder import load_generative_model
 
         model, cfg, params, vocab, self.family = load_generative_model(ckpt_path, ckpt_tag)

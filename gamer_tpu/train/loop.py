@@ -173,7 +173,9 @@ class Trainer:
                         start_epoch, int(self.state.step), best)
 
         accum = max(cfg.gradient_accumulation_steps, 1)
-        micro_steps_total = 0
+        # anchor to absolute micro-step count (state.step) so steps-strategy
+        # eval/save cadence survives --resume_from_checkpoint unchanged
+        micro_steps_total = int(self.state.step)
         stop = False
 
         def run_eval(epoch: int, epoch_loss: float | None) -> bool:

@@ -161,6 +161,40 @@ def _reference_full_forward_score(model, params, cfg, vocab, trie, token_rows,
     return score
 
 
+def test_bf16_caches_match_fp32_beam_search():
+    """The shipped TPU default (cache_dtype=auto -> bfloat16) must reproduce
+    the fp32-cache beam search: identical decoded codes, scores within bf16
+    rounding (atol 5e-2 on sum-of-log-probs at this tiny geometry)."""
+    vocab = SemanticVocab([5, 5, 5], behaviors=["click", "buy"])
+    cfg = build_config(
+        "Qwen3Multi", vocab_size=vocab.vocab_size, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, intermediate_size=48, dropout_rate=0.0, num_positions=4,
+        num_experts=5, num_behavior=2, behavior_embedding_dim=8,
+        behavior_base=vocab.behavior_base, model_max_length=128)
+    model = QwenFamilyModel(cfg)
+    rng = np.random.default_rng(7)
+    codes = np.unique(rng.integers(0, 5, (10, 3)), axis=0)
+    token_rows = vocab.encode_codes(codes)
+    trie = LeveledTrie.from_token_rows(token_rows, vocab)
+    batch, _ = _build_prompt_batch(vocab, token_rows, rng)
+    from gamer_tpu.decode.beam import prepare_prefill
+
+    inputs, _ = prepare_prefill(cfg, batch, 0)
+    params = model.init(jax.random.PRNGKey(0), **inputs, route_mode="onehot")
+    target_beh_id = vocab.behavior_token("buy") - vocab.behavior_base + 1
+
+    out = {}
+    for cd in ("float32", "bfloat16"):
+        out[cd] = constrained_beam_search(
+            model, params, batch, trie, behavior_emb_id=target_beh_id,
+            search_cfg=BeamSearchConfig(num_beams=5, cache_dtype=cd))
+    np.testing.assert_array_equal(np.asarray(out["float32"][0]),
+                                  np.asarray(out["bfloat16"][0]))
+    np.testing.assert_allclose(np.asarray(out["float32"][1]),
+                               np.asarray(out["bfloat16"][1]), atol=5e-2)
+
+
 @pytest.mark.parametrize("backbone", ["Qwen3Multi", "Qwen3SessionMulti"])
 def test_flagship_beam_scores_equal_reference_full_forward(backbone):
     vocab = SemanticVocab([5, 5, 5], behaviors=["click", "buy"])

@@ -181,6 +181,27 @@ class TestTokenizeTask:
         assert len(d) == 60
 
 
+def test_load_pt_cf_embeddings(tmp_path):
+    """--cf_emb_file accepts torch .pt pickles — the format the reference
+    ships its real CF embeddings in (ref tasks/RQVAE.py:161-165,
+    pretrained_ckpt/cf-embs/*-32d-sasrec.pt)."""
+    import torch
+
+    from gamer_tpu.tasks.rqvae import _load_tensor_file, load_embeddings
+
+    x = np.random.default_rng(0).normal(size=(12, 6)).astype(np.float32)
+    pt_path = str(tmp_path / "cf.pt")
+    torch.save(torch.from_numpy(x), pt_path)
+    got = _load_tensor_file(pt_path)
+    np.testing.assert_allclose(got, x)
+    assert got.dtype == np.float32
+    # load_embeddings path (std-normalize rule) also takes .pt
+    assert load_embeddings(pt_path).shape == (12, 6)
+    # dict-style pickle with a single tensor also loads
+    torch.save({"emb": torch.from_numpy(x)}, str(tmp_path / "cfd.pt"))
+    np.testing.assert_allclose(_load_tensor_file(str(tmp_path / "cfd.pt")), x)
+
+
 def test_rq_kmeans_cf_reduce(synth_dir, tmp_path):
     """rq_kmeans with CF concatenation + PCA reduction."""
     import sys

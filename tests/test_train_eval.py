@@ -70,7 +70,12 @@ def test_eval_loss_deterministic_and_rechunk_invariant():
 
 
 def test_moe_action_periodic_equals_onehot():
-    """MoeAction factorized periodic path == exact one-hot routing."""
+    """MoeAction factorized periodic path == exact one-hot routing.
+
+    Uses fully-valid blocks: on pad/eos blocks the periodic path outputs
+    zero while onehot routes through expert 0 — a documented, loss-invariant
+    divergence (pad labels ignored, pad keys masked; modules/moe.py).
+    """
     cfg = tiny_config("Qwen3MoeAction")
     rng = np.random.default_rng(1)
     batch = make_batch(rng, cfg, B=3, blocks=4)
