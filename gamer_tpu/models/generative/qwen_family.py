@@ -28,6 +28,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from gamer_tpu.core.config import Config, config_field
 from gamer_tpu.modules.dropout import BitDropout
@@ -84,6 +85,13 @@ class QwenFamilyConfig(Config):
     # activations in backward instead of storing them (ref plumbs HF
     # gradient_checkpointing, train_SMB_decoder.py:412, Qwen3Multi/model.py:363-374)
     remat: bool = False
+    # what the backward may keep instead of recomputing:
+    #   "full" — recompute everything (max memory savings, old behavior)
+    #   "attn" — save the attention outputs (the S^2-cost kernels are the
+    #            expensive recompute; norms/MoE/dropout re-run cheaply) —
+    #            O(B*S*H*D) extra memory per attention, no kernel re-run
+    #   "dots" — save every matmul result without batch dims (least recompute)
+    remat_policy: str = "attn"
 
     @property
     def jax_dtype(self):
@@ -188,8 +196,15 @@ class QwenFamilyModel(nn.Module):
 
             if use_remat:
                 # recompute layer activations in backward (trades FLOPs for
-                # HBM; enables S>=2048 / large-batch training)
-                layer_body = nn.remat(layer_body)
+                # HBM; enables S>=2048 / large-batch training). The policy
+                # controls the trade — see QwenFamilyConfig.remat_policy.
+                policy = {
+                    "full": None,
+                    "attn": jax.checkpoint_policies.save_only_these_names(
+                        "attn_out"),
+                    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                }[cfg.remat_policy]
+                layer_body = nn.remat(layer_body, policy=policy)
             x, new_self_cache, new_cross_cache = layer_body(
                 self, x, rope_positions, self_allowed, cross_allowed,
                 position_index, behavior_index, action_index, expert_index,
@@ -243,6 +258,9 @@ class QwenFamilyModel(nn.Module):
           cache_index=cache_index,
           mask_kind=cfg.self_mask_kind, streams=streams,
           deterministic=deterministic)
+        # named for remat_policy="attn": the S^2-cost kernel output is saved
+        # in backward instead of re-run (jax.checkpoint_policies)
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = residual + drop(attn_out)
 
         new_cross_cache = None
@@ -267,6 +285,7 @@ class QwenFamilyModel(nn.Module):
               cache_index=cache_index,
               mask_kind=cfg.cross_mask_kind, streams=streams,
               deterministic=deterministic)
+            cross_out = checkpoint_name(cross_out, "attn_out")
             x = residual + drop(cross_out)
 
         residual = x

@@ -121,6 +121,13 @@ class TrainSMBDecoder(Task):
                        help="write a jax.profiler trace of a few steps here")
         g.add_argument("--n_layers", type=int, default=0, help="override num layers (0=preset)")
         g.add_argument("--hidden_size", type=int, default=0, help="override hidden size")
+        g.add_argument("--gradient_checkpointing", action="store_true",
+                       help="remat the layer stack in backward (ref HF "
+                            "TrainingArguments gradient_checkpointing)")
+        g.add_argument("--remat_policy", type=str, default="attn",
+                       choices=["full", "attn", "dots"],
+                       help="with --gradient_checkpointing: what backward may "
+                            "keep (attn = save attention outputs, re-run the rest)")
         g.add_argument("--wandb_run_name", type=str, default=None,
                        help="run name in the metric stream (ref wandb name)")
         add_ref_compat_args(parser, "deepspeed")
@@ -133,7 +140,8 @@ class TrainSMBDecoder(Task):
             temperature, patience, only_train_response, model_max_length, dtype,
             n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto",
             resume_from_checkpoint=False, save_epochs=0, profile_dir=None,
-            wandb_run_name=None, **extra):
+            wandb_run_name=None, gradient_checkpointing=False,
+            remat_policy="attn", **extra):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
@@ -170,6 +178,9 @@ class TrainSMBDecoder(Task):
 
         ctx = mesh_ctx or MeshContext()
         overrides = {"attention_impl": attention_impl}
+        if gradient_checkpointing:
+            overrides["remat"] = True
+            overrides["remat_policy"] = remat_policy
         if n_layers:
             overrides["num_hidden_layers"] = n_layers
         if hidden_size:

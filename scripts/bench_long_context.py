@@ -28,7 +28,7 @@ def probe():
     print(f"probe ok: {v:.0f} on {jax.devices()}", flush=True)
 
 
-def bench(tag, blocks, batch, remat, dropout=0.2):
+def bench(tag, blocks, batch, remat, dropout=0.2, remat_policy="attn"):
     import jax
     import optax
 
@@ -41,7 +41,7 @@ def bench(tag, blocks, batch, remat, dropout=0.2):
     cfg = _flagship_config()
     cfg = cfg.replace(dtype="bfloat16", dropout_rate=dropout,
                       attention_impl="pallas", remat=remat,
-                      model_max_length=4096)
+                      remat_policy=remat_policy, model_max_length=4096)
     model = QwenFamilyModel(cfg)
     rng = np.random.default_rng(0)
     batch_data = _make_batch(cfg, batch, blocks, rng)
@@ -89,7 +89,7 @@ def bench(tag, blocks, batch, remat, dropout=0.2):
     per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
     seqs = batch / per_step
     toks = seqs * S
-    print(f"{tag}: S={S} B={batch} remat={remat} -> {per_step * 1e3:.1f} ms/step, "
+    print(f"{tag}: S={S} B={batch} remat={remat}/{remat_policy if remat else '-'} -> {per_step * 1e3:.1f} ms/step, "
           f"{seqs:.0f} seq/s, {toks / 1e3:.0f}k tok/s, loss {lv:.3f}", flush=True)
     return seqs
 
@@ -97,8 +97,18 @@ def bench(tag, blocks, batch, remat, dropout=0.2):
 def main():
     probe()
     bench("flagship S=505 (regression check)", blocks=101, batch=64, remat=False)
-    bench("long-context S=2045->2048", blocks=409, batch=64, remat=True)
-    bench("long-context S=4090->4096", blocks=818, batch=16, remat=True)
+    # remat-policy A/B (VERDICT r2 item 3): full recompute vs save-attn-outs
+    # vs remat OFF where memory allows
+    bench("long-context S=2045->2048 remat=full", blocks=409, batch=64,
+          remat=True, remat_policy="full")
+    bench("long-context S=2045->2048 remat=attn", blocks=409, batch=64,
+          remat=True, remat_policy="attn")
+    bench("long-context S=2045->2048 remat=off", blocks=409, batch=64,
+          remat=False)
+    bench("long-context S=4090->4096 remat=full", blocks=818, batch=16,
+          remat=True, remat_policy="full")
+    bench("long-context S=4090->4096 remat=attn", blocks=818, batch=16,
+          remat=True, remat_policy="attn")
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ which evals under model.eval() with HF's per-token CE average
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gamer_tpu.models.generative.qwen_family import (
     QwenFamilyModel, build_config, prepare_train_inputs)
@@ -88,8 +89,11 @@ def test_moe_action_periodic_equals_onehot():
                                np.asarray(out_o["logits"]), rtol=2e-5, atol=2e-5)
 
 
-def test_remat_matches_baseline_loss_and_grads():
-    """cfg.remat must not change values — only the backward's memory schedule."""
+@pytest.mark.parametrize("policy", ["full", "attn", "dots"])
+def test_remat_matches_baseline_loss_and_grads(policy):
+    """cfg.remat must not change values — only the backward's memory schedule.
+    All remat policies (full recompute / save-attention-outputs / save-dots)
+    must produce the same grads as the no-remat baseline."""
     cfg = tiny_config("Qwen3Multi")
     rng = np.random.default_rng(2)
     batch = make_batch(rng, cfg)
@@ -97,7 +101,7 @@ def test_remat_matches_baseline_loss_and_grads():
     model = QwenFamilyModel(cfg)
     params = model.init(jax.random.PRNGKey(0), **inputs_cfg)
 
-    cfg_r = cfg.replace(remat=True)
+    cfg_r = cfg.replace(remat=True, remat_policy=policy)
     model_r = QwenFamilyModel(cfg_r)
 
     def loss(m, c, p):
