@@ -138,13 +138,12 @@ def attend_shared_prompt(
 
 
 def pallas_attention_ok(S: int) -> bool:
-    """S <= MONO_MAX uses the monolithic kernel (full S x S score tile in
-    VMEM); longer sequences stream over key blocks with an online softmax
-    (ops/pallas_attention.py streaming path) up to STREAM_MAX, beyond which
-    the full-row k/v VMEM residency no longer fits."""
-    from gamer_tpu.ops.pallas_attention import STREAM_MAX
-
-    return S <= STREAM_MAX
+    """Every S has a kernel generation: S <= MONO_MAX uses the monolithic
+    kernel (full S x S score tile in VMEM); up to STREAM_MAX the streaming
+    kernels keep full-row k/v in VMEM; beyond that the XL kernels grid over
+    key blocks with scratch-carried online softmax — S is unbounded
+    (ops/pallas_attention.py)."""
+    return True
 
 
 class GQAAttention(nn.Module):

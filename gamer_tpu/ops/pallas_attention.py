@@ -236,7 +236,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, attn_ref, sid_ref,
 # ---------------------------------------------------------------------------
 
 MONO_MAX = 1024  # monolithic kernels above handle S <= MONO_MAX
-STREAM_MAX = 4096  # streaming kernels keep full-row k/v (+q in dkv) in VMEM
+# Up to STREAM_MAX the fwd/dq streaming kernels keep full-row k/v in VMEM
+# (fastest: keys fetched once per program). Beyond it the XL kernels below
+# take over: the key axis becomes the minor-most GRID dimension with the
+# online-softmax state carried in VMEM scratch, so k/v arrive as [KC] tiles
+# through the Pallas pipeline (auto double-buffered DMA) and S is unbounded.
+STREAM_MAX = 4096
 _QC = 512  # query-chunk rows (grid dim)
 _KC = 512  # key-block columns (inner online-softmax loop)
 # dkv kernel holds FULL q/dout rows in VMEM on top of its tiles; a smaller
@@ -448,6 +453,134 @@ def _stream_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,
         dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
 
 
+def _stream_fwd_kernel_xl(seed_ref, q_ref, k_ref, v_ref,
+                          qattn_ref, qsid_ref, qact_ref, qblk_ref,
+                          kattn_ref, ksid_ref, kact_ref, kblk_ref,
+                          out_ref, lse_ref, m_s, l_s, acc_s,
+                          *, kind, scale, num_heads, rate):
+    """Arbitrary-S forward: grid (B, nQ, nK) with the KEY axis minor-most.
+    k/v arrive as [1, KC, Hkv*D] pipeline tiles; the online-softmax state
+    (m, l, acc) lives in VMEM scratch across the j axis and the normalized
+    output + logsumexp are emitted at the last key block. Unlike the
+    bounded-S kernels, k/v never need full-row VMEM residency."""
+    QC = q_ref.shape[1]
+    KC = k_ref.shape[1]
+    D = q_ref.shape[2] // num_heads
+    G = num_heads // (k_ref.shape[2] // D)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    r0, j0 = i * QC, j * KC
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)[:, 0] + j0
+    qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
+    k_ok, ksid = kattn_ref[0, 0], ksid_ref[0, 0]
+    kact, kblk = kact_ref[0, 0], kblk_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, -1e30)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    relevant = (j0 <= r0 + QC - 1) if kind in _CAUSAL_BOUNDED else (j >= 0)
+
+    @pl.when(relevant)
+    def _accumulate():
+        allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
+                             qblk, kblk, k_ok)
+        for h in range(num_heads):
+            q = q_ref[0, :, h * D:(h + 1) * D]
+            kcol = (h // G) * D
+            k = k_ref[0, :, kcol:kcol + D]
+            v = v_ref[0, :, kcol:kcol + D]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(allowed, s, NEG)
+            m_prev = m_s[h, :][:, None]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_s[h, :] = l_s[h, :] * corr[:, 0] + jnp.sum(p, axis=-1)
+            if rate > 0.0:
+                keep = dropout_keep_tile(seed_ref[0], b * num_heads + h,
+                                         r0, j0, (QC, KC), rate)
+                p = jnp.where(keep, p, 0.0)
+            sl = slice(h * D, (h + 1) * D)
+            acc_s[:, sl] = acc_s[:, sl] * corr + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            m_s[h, :] = m_new[:, 0]
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _emit():
+        inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
+        for h in range(num_heads):
+            l_safe = jnp.maximum(l_s[h, :], 1e-30)[:, None]
+            sl = slice(h * D, (h + 1) * D)
+            out_ref[0, :, sl] = (acc_s[:, sl] * inv_keep / l_safe).astype(out_ref.dtype)
+            lse_ref[0, h, :] = m_s[h, :] + jnp.log(l_safe[:, 0])
+
+
+def _stream_dq_kernel_xl(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,
+                         delta_ref, qattn_ref, qsid_ref, qact_ref, qblk_ref,
+                         kattn_ref, ksid_ref, kact_ref, kblk_ref,
+                         dq_ref, dq_s, *, kind, scale, num_heads, rate):
+    """Arbitrary-S dq: grid (B, nQ, nK), dq accumulated in VMEM scratch
+    across the minor-most key axis (same P-recompute math as
+    _stream_dq_kernel, k/v as pipeline tiles instead of full rows)."""
+    QC = q_ref.shape[1]
+    KC = k_ref.shape[1]
+    D = q_ref.shape[2] // num_heads
+    G = num_heads // (k_ref.shape[2] // D)
+    dt = q_ref.dtype
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    r0, j0 = i * QC, j * KC
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (QC, 1), 0)[:, 0] + r0
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (KC, 1), 0)[:, 0] + j0
+    qsid, qact, qblk = qsid_ref[0, 0], qact_ref[0, 0], qblk_ref[0, 0]
+    k_ok, ksid = kattn_ref[0, 0], ksid_ref[0, 0]
+    kact, kblk = kact_ref[0, 0], kblk_ref[0, 0]
+    inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
+
+    @pl.when(j == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    relevant = (j0 <= r0 + QC - 1) if kind in _CAUSAL_BOUNDED else (j >= 0)
+
+    @pl.when(relevant)
+    def _accumulate():
+        allowed = _mask_tile(kind, qpos, kpos, qsid, ksid, qact, kact,
+                             qblk, kblk, k_ok)
+        for h in range(num_heads):
+            q = q_ref[0, :, h * D:(h + 1) * D]
+            dout = dout_ref[0, :, h * D:(h + 1) * D]
+            lse = lse_ref[0, h, :][:, None]
+            delta = delta_ref[0, h, :][:, None]
+            kcol = (h // G) * D
+            k = k_ref[0, :, kcol:kcol + D]
+            v = v_ref[0, :, kcol:kcol + D]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(allowed, s, NEG)
+            P = jnp.exp(s - lse)
+            dP = jnp.dot(dout, v.T, preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                keep = dropout_keep_tile(seed_ref[0], b * num_heads + h,
+                                         r0, j0, (QC, KC), rate)
+                P_use = jnp.where(keep, P * inv_keep, 0.0)
+                dS = (P_use * dP - P * delta).astype(dt)
+            else:
+                dS = (P * (dP - delta)).astype(dt)
+            sl = slice(h * D, (h + 1) * D)
+            dq_s[:, sl] = dq_s[:, sl] + jnp.dot(
+                dS, k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _emit():
+        dq_ref[0] = (dq_s[...] * scale).astype(dq_ref.dtype)
+
+
 def _pad_s(x, S_pad, axis=1, fill=0):
     S = x.shape[axis]
     if S == S_pad:
@@ -478,13 +611,41 @@ def _forward_streaming(q, k, v, attention_mask, session_ids, actions, block_ids,
     D = HD // num_heads
     KW = k.shape[2]
     nQ = S_pad // _QC
+    streams = _stream_args(attn, sid, act, blk)
+
+    if S_pad > STREAM_MAX:  # XL: key axis on the grid, k/v as pipeline tiles
+        nK = S_pad // _KC
+        kernel = functools.partial(_stream_fwd_kernel_xl, kind=kind,
+                                   scale=D ** -0.5, num_heads=num_heads,
+                                   rate=rate)
+        qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i, j: (b, i, 0))
+        kspec = lambda width: pl.BlockSpec((1, _KC, width), lambda b, i, j: (b, j, 0))
+        qstream = pl.BlockSpec((1, 1, _QC), lambda b, i, j: (b, 0, i))
+        kstream = pl.BlockSpec((1, 1, _KC), lambda b, i, j: (b, 0, j))
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(B, nQ, nK),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      qspec(HD), kspec(KW), kspec(KW),
+                      qstream, qstream, qstream, qstream,
+                      kstream, kstream, kstream, kstream],
+            out_specs=(qspec(HD),
+                       pl.BlockSpec((1, num_heads, _QC), lambda b, i, j: (b, 0, i))),
+            out_shape=(jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
+                       jax.ShapeDtypeStruct((B, num_heads, S_pad), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((num_heads, _QC), jnp.float32),
+                            pltpu.VMEM((num_heads, _QC), jnp.float32),
+                            pltpu.VMEM((_QC, HD), jnp.float32)],
+            interpret=interpret,
+        )(_seed_arr(seed), q, k, v, *streams, *streams)
+        return out[:, :S], lse
+
     kernel = functools.partial(_stream_fwd_kernel, kind=kind, scale=D ** -0.5,
                                num_heads=num_heads, rate=rate)
     qspec = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i: (b, i, 0))
     full = lambda width: pl.BlockSpec((1, S_pad, width), lambda b, i: (b, 0, 0))
     qstream = pl.BlockSpec((1, 1, _QC), lambda b, i: (b, 0, i))
     kstream = pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0))
-    streams = _stream_args(attn, sid, act, blk)
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, nQ),
@@ -525,18 +686,40 @@ def _bwd_streaming(q, k, v, dout, out, lse, attention_mask, session_ids,
     stream_f = pl.BlockSpec((1, 1, S_pad), lambda b, i: (b, 0, 0))
     streams = _stream_args(attn, sid, act, blk)
 
-    dq = pl.pallas_call(
-        functools.partial(_stream_dq_kernel, kind=kind, scale=D ** -0.5,
-                          num_heads=num_heads, rate=rate),
-        grid=(B, nQ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qspec(HD), fullq(KW), fullq(KW), qspec(HD),
-                  qrow, qrow,
-                  qstream_c, qstream_c, qstream_c, qstream_c,
-                  stream_f, stream_f, stream_f, stream_f],
-        out_specs=qspec(HD),
-        out_shape=jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
-        interpret=interpret,
-    )(_seed_arr(seed), q, k, v, dout, lse, delta, *streams, *streams)
+    if S_pad > STREAM_MAX:  # XL: key axis on the grid, k/v as pipeline tiles
+        nKx = S_pad // _KC
+        qspec_x = lambda width: pl.BlockSpec((1, _QC, width), lambda b, i, j: (b, i, 0))
+        kspec_x = lambda width: pl.BlockSpec((1, _KC, width), lambda b, i, j: (b, j, 0))
+        qrow_x = pl.BlockSpec((1, num_heads, _QC), lambda b, i, j: (b, 0, i))
+        qstream_x = pl.BlockSpec((1, 1, _QC), lambda b, i, j: (b, 0, i))
+        kstream_x = pl.BlockSpec((1, 1, _KC), lambda b, i, j: (b, 0, j))
+        dq = pl.pallas_call(
+            functools.partial(_stream_dq_kernel_xl, kind=kind, scale=D ** -0.5,
+                              num_heads=num_heads, rate=rate),
+            grid=(B, nQ, nKx),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      qspec_x(HD), kspec_x(KW), kspec_x(KW), qspec_x(HD),
+                      qrow_x, qrow_x,
+                      qstream_x, qstream_x, qstream_x, qstream_x,
+                      kstream_x, kstream_x, kstream_x, kstream_x],
+            out_specs=qspec_x(HD),
+            out_shape=jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
+            scratch_shapes=[pltpu.VMEM((_QC, HD), jnp.float32)],
+            interpret=interpret,
+        )(_seed_arr(seed), q, k, v, dout, lse, delta, *streams, *streams)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_stream_dq_kernel, kind=kind, scale=D ** -0.5,
+                              num_heads=num_heads, rate=rate),
+            grid=(B, nQ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qspec(HD), fullq(KW), fullq(KW), qspec(HD),
+                      qrow, qrow,
+                      qstream_c, qstream_c, qstream_c, qstream_c,
+                      stream_f, stream_f, stream_f, stream_f],
+            out_specs=qspec(HD),
+            out_shape=jax.ShapeDtypeStruct((B, S_pad, HD), q.dtype),
+            interpret=interpret,
+        )(_seed_arr(seed), q, k, v, dout, lse, delta, *streams, *streams)
 
     # dkv: 3D grid — q-side operands arrive as [QC_DKV] chunks along the
     # minor-most axis; dk/dv accumulate in f32 scratch across it

@@ -41,7 +41,7 @@ def bench(tag, blocks, batch, remat, dropout=0.2, remat_policy="attn"):
     cfg = _flagship_config()
     cfg = cfg.replace(dtype="bfloat16", dropout_rate=dropout,
                       attention_impl="pallas", remat=remat,
-                      remat_policy=remat_policy, model_max_length=4096)
+                      remat_policy=remat_policy, model_max_length=16384)
     model = QwenFamilyModel(cfg)
     rng = np.random.default_rng(0)
     batch_data = _make_batch(cfg, batch, blocks, rng)
@@ -108,6 +108,10 @@ def main():
     bench("long-context S=4090->4096 remat=full", blocks=818, batch=16,
           remat=True, remat_policy="full")
     bench("long-context S=4090->4096 remat=attn", blocks=818, batch=16,
+          remat=True, remat_policy="attn")
+    # XL kernel generation (S > STREAM_MAX): key axis on the grid,
+    # scratch-carried online softmax — S unbounded
+    bench("XL S=8185->8192 remat=attn", blocks=1637, batch=8,
           remat=True, remat_policy="attn")
 
 
