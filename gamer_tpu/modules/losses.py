@@ -34,9 +34,12 @@ def causal_lm_loss_with_denom(
     if row_valid is not None:
         valid = valid & (row_valid[:, None] == 1)
     safe_targets = jnp.where(valid, targets, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    # nll = logsumexp - target_logit (same math as -log_softmax[target], but
+    # the [B, S] reductions never materialize a full [B, S, V] fp32 logp
+    # tensor in HBM — the HBM-bound step's largest forward intermediate)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, lse - tgt, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return nll.sum() / denom, denom
 
