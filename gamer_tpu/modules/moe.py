@@ -86,7 +86,11 @@ class PositionRoutedMLP(nn.Module):
         contraction is done by the caller; here weights are plain [d_in, d_ff]."""
         act = _act(self.hidden_act)
         if self.mlp_type == "qwen3":
-            h = act(x @ w["gate"]) * (x @ w["up"])
+            # fused gate-up: one matmul reads x ONCE from HBM (two separate
+            # dots re-read the [B,S,d_in] activations; the weight concat is
+            # a few MB and amortizes). Same columns, bit-identical results.
+            gu = x @ jnp.concatenate([w["gate"], w["up"]], axis=-1)
+            h = act(gu[..., :self.d_ff]) * gu[..., self.d_ff:]
             h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
             return h @ w["down"]
         h = act(x @ w["wi"])
@@ -141,8 +145,11 @@ class PositionRoutedMLP(nn.Module):
                 # w_sel: P stacked experts, one per within-block position
                 act = _act(self.hidden_act)
                 if self.mlp_type == "qwen3":
-                    h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["gate"])) * jnp.einsum(
-                        "bnpd,pdf->bnpf", xb, w_sel["up"])
+                    # fused gate-up (see _apply_expert): xb read once
+                    gu = jnp.einsum(
+                        "bnpd,pdf->bnpf", xb,
+                        jnp.concatenate([w_sel["gate"], w_sel["up"]], axis=-1))
+                    h = act(gu[..., :self.d_ff]) * gu[..., self.d_ff:]
                     h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
                     return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["down"])
                 h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["wi"]))
