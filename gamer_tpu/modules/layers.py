@@ -77,6 +77,11 @@ def attend(
     bias = jnp.where(allowed[:, :, None], 0.0, NEG_INF)  # [B,1,1,Sq,Sk]
     scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
+    # no-key rows output ZERO (not the softmax's uniform-over-everything):
+    # the same contract as every Pallas kernel generation, so S<=1024 and
+    # streaming/XL lengths compute the same function (parity.md #13)
+    probs = jnp.where(jnp.any(allowed[:, :, None], axis=-1, keepdims=True),
+                      probs, 0.0)
     if dropout_rate > 0.0:
         assert dropout_rng is not None
         from gamer_tpu.modules.dropout import keep_threshold
@@ -131,7 +136,11 @@ def attend_shared_prompt(
             preferred_element_type=jnp.float32)
     else:
         pp = jax.nn.softmax(sp, axis=-1)
-        out = jnp.einsum("bkhgs,bshd->bkhgd", pp.reshape(B, K, Hkv, G, S),
+        # cross stream with a fully-masked frozen row (min-action target
+        # behavior): zero, matching the train-path contract (parity.md #13)
+        has_key = prompt_allowed.any(-1).reshape(B, 1, 1, 1, 1)
+        pp = jnp.where(has_key, pp.reshape(B, K, Hkv, G, S), 0.0)
+        out = jnp.einsum("bkhgs,bshd->bkhgd", pp,
                          vp.astype(pp.dtype),
                          preferred_element_type=jnp.float32).reshape(BK, Hkv, G, D)
     return out.reshape(BK, 1, H, D).astype(q.dtype)

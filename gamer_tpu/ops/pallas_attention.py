@@ -127,7 +127,12 @@ def _masked_probs(kind, q, k, scale, pos, k_ok, sid, act, blk, rows=None):
     scores = jnp.where(allowed, scores, NEG)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    # no-key rows (the mask allows nothing — e.g. min-action rows of the
+    # "multi" cross mask) output ZERO probs -> zero out AND zero grads, the
+    # same contract in every kernel generation and the jnp path
+    # (docs/parity.md divergence #13)
+    return jnp.where(jnp.any(allowed, axis=-1, keepdims=True), probs, 0.0)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, attn_ref, sid_ref, act_ref,
@@ -314,8 +319,14 @@ def _stream_fwd_kernel(seed_ref, q_ref, k_ref, v_ref,
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))
         l_safe = jnp.maximum(l, 1e-30)
         inv_keep = 1.0 / keep_fraction(rate) if rate > 0.0 else 1.0
-        out_ref[0, :, h * D:(h + 1) * D] = (acc * inv_keep / l_safe).astype(out_ref.dtype)
-        lse_ref[0, h, :] = (m[:, 0] + jnp.log(l_safe[:, 0]))
+        # no-key rows (m never rose above the NEG fill): zero output, and an
+        # lse sentinel of +1e30 makes every backward P = exp(s - lse) vanish
+        # -> zero grads with no extra backward logic (divergence #13)
+        has_key = m > NEG * 0.5
+        out = jnp.where(has_key, acc * inv_keep / l_safe, 0.0)
+        out_ref[0, :, h * D:(h + 1) * D] = out.astype(out_ref.dtype)
+        lse_ref[0, h, :] = jnp.where(has_key[:, 0],
+                                     m[:, 0] + jnp.log(l_safe[:, 0]), 1e30)
 
 
 def _stream_dq_kernel(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,
@@ -516,8 +527,12 @@ def _stream_fwd_kernel_xl(seed_ref, q_ref, k_ref, v_ref,
         for h in range(num_heads):
             l_safe = jnp.maximum(l_s[h, :], 1e-30)[:, None]
             sl = slice(h * D, (h + 1) * D)
-            out_ref[0, :, sl] = (acc_s[:, sl] * inv_keep / l_safe).astype(out_ref.dtype)
-            lse_ref[0, h, :] = m_s[h, :] + jnp.log(l_safe[:, 0])
+            # no-key rows: zero out + lse sentinel (see _stream_fwd_kernel)
+            has_key = m_s[h, :][:, None] > NEG * 0.5
+            out = jnp.where(has_key, acc_s[:, sl] * inv_keep / l_safe, 0.0)
+            out_ref[0, :, sl] = out.astype(out_ref.dtype)
+            lse_ref[0, h, :] = jnp.where(has_key[:, 0],
+                                         m_s[h, :] + jnp.log(l_safe[:, 0]), 1e30)
 
 
 def _stream_dq_kernel_xl(seed_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref,

@@ -241,6 +241,8 @@ def main():
             summary[tag] = r.get("merged", r)
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    subprocess.run([sys.executable, "scripts/quality_report.py", OUT,
+                    "--write"], cwd=REPO)
     log("quality run complete")
     log(json.dumps(summary, indent=2))
 

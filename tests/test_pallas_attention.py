@@ -88,3 +88,37 @@ def test_gqa_head_mapping():
     diff = np.abs(np.asarray(out1) - np.asarray(out2)).sum(axis=(0, 2, 3))
     assert diff[0] == 0 and diff[1] == 0  # group 0 (heads 0,1) unchanged
     assert diff[2] > 0 and diff[3] > 0  # group 1 (heads 2,3) changed
+
+
+def test_nokey_rows_zero_all_generations():
+    """Fully-masked rows output exactly zero in the jnp path and every
+    kernel generation (parity.md divergence #12b). 'multi' cross mask with
+    all actions equal -> every row is no-key."""
+    import unittest.mock as mock
+
+    import gamer_tpu.ops.pallas_attention as PA
+
+    S = 96
+    q, k, v, attn, sessions, actions, block_ids = make_inputs(S=S)
+    actions = jnp.ones_like(actions)  # k_act < q_act is false everywhere
+    H = q.shape[1]
+
+    want = jnp_reference(q, k, v, attn, sessions, actions, block_ids, "multi")
+    np.testing.assert_array_equal(np.asarray(want), 0.0)
+
+    gens = {"mono": dict(MONO_MAX=256, STREAM_MAX=256),
+            "stream": dict(MONO_MAX=32, STREAM_MAX=256, _QC=32, _KC=32,
+                           _QC_DKV=32),
+            "xl": dict(MONO_MAX=32, STREAM_MAX=64, _QC=32, _KC=32,
+                       _QC_DKV=32)}
+    for name, patch in gens.items():
+        with mock.patch.multiple(PA, **patch):
+            out = PA.fused_mask_attention(flat(q), flat(k), flat(v), attn,
+                                          sessions, actions, block_ids, 0,
+                                          H, "multi", True)
+            np.testing.assert_array_equal(np.asarray(out), 0.0, err_msg=name)
+            g = jax.grad(lambda qf: jnp.sum(PA.fused_mask_attention(
+                qf, flat(k), flat(v), attn, sessions, actions, block_ids,
+                0, H, "multi", True)))(flat(q))
+            np.testing.assert_array_equal(np.asarray(g), 0.0,
+                                          err_msg=f"{name} grad")
