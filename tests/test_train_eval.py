@@ -255,3 +255,48 @@ def test_schedule_horizon_counts_optimizer_updates():
     for _ in range(2 * k):
         _, state = tx.update({"w": jnp.ones((3,))}, state, params)
     assert int(state.gradient_step) == 2
+
+
+def test_steps_strategy_eval_cadence_anchored_after_resume(tmp_path):
+    """Steps-strategy evals fire at absolute optimizer-update counts across
+    --resume_from_checkpoint (advisor round-2: micro_steps_total restarted at
+    0 on every fit(), shifting the post-resume cadence)."""
+    cfg = tiny_config("Qwen3")
+    rng = np.random.default_rng(4)
+    batch = make_batch(rng, cfg, B=4, blocks=2)
+    model = QwenFamilyModel(cfg)
+    inputs = prepare_train_inputs(cfg, batch)
+    params = model.init(jax.random.PRNGKey(0), **inputs)
+
+    def batches(_epoch=None):
+        for _ in range(5):  # 5 micro-steps per epoch
+            yield batch
+
+    def trainer(resume):
+        # fresh buffers per Trainer: the jitted train step donates its state
+        fresh = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), params)
+        return Trainer(
+            loss_fn=make_loss_fn(model, cfg),
+            eval_loss_fn=make_loss_fn(model, cfg, deterministic=True),
+            params=fresh,
+            opt_cfg=OptimizerConfig(total_steps=40),
+            loop_cfg=TrainLoopConfig(
+                epochs=2, seed=0, eval_strategy="steps", eval_every_steps=4,
+                patience=0, resume=resume),
+            output_dir=str(tmp_path))
+
+    # uninterrupted: 10 micro-steps -> evals at absolute steps 4 and 8
+    t0 = trainer(resume=False)
+    hist = t0.fit(batches, eval_batches=lambda: batches())["history"]
+    steps_uninterrupted = [h["step"] for h in hist]
+    assert steps_uninterrupted == [4, 8]
+
+    # interrupted after epoch 0 (5 micro-steps, one eval at 4), then resumed:
+    # the resumed run must eval at absolute step 8 — not at 5 + 4 = 9
+    t1 = trainer(resume=False)
+    t1.cfg.epochs = 1
+    h1 = t1.fit(batches, eval_batches=lambda: batches())["history"]
+    assert [h["step"] for h in h1] == [4]
+    t2 = trainer(resume=True)
+    h2 = t2.fit(batches, eval_batches=lambda: batches())["history"]
+    assert [h["step"] for h in h2] == [8], h2
