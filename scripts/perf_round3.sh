@@ -29,6 +29,7 @@ stage() {
 
 probe || { echo "tunnel wedged — nothing to do"; exit 1; }
 stage bench python bench.py
+stage hbm_inventory python scripts/hbm_inventory.py
 stage microbatch python scripts/bench_microbatch.py
 stage long_context python scripts/bench_long_context.py
 stage dropout_ab python scripts/bench_dropout_ab.py
