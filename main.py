@@ -16,8 +16,26 @@ def _apply_platform_env():
         jax.config.update("jax_platforms", plat)
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: quality/perf pipelines launch many
+    processes with identical jit geometries (ablation arms, resume retries),
+    and first compiles through the TPU tunnel cost minutes each. Keyed by HLO
+    hash, so code changes miss naturally; JAX logs and continues if the
+    backend can't serialize executables. GAMER_COMPILATION_CACHE=0 disables."""
+    cache = os.environ.get("GAMER_COMPILATION_CACHE",
+                           os.path.expanduser("~/.cache/gamer_tpu_xla"))
+    if cache in ("0", ""):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # only persist compiles that are actually expensive
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 def main(argv=None):
     _apply_platform_env()
+    _enable_compilation_cache()
     # multi-host bootstrap (no-op unless GAMER_COORDINATOR/GAMER_DISTRIBUTED
     # is set; ref: torchrun env:// rendezvous, SeqRec/tasks/multi_gpu.py:41-53)
     from gamer_tpu.core import distributed
