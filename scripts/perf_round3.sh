@@ -4,6 +4,7 @@
 # the rail. Probe first; skip everything if the tunnel is wedged.
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=$HOME/.cache/gamer_tpu_xla
 OUT=runs/perf_r3
 mkdir -p "$OUT"
 

@@ -6,6 +6,7 @@
 # relaunched after another outage.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=$HOME/.cache/gamer_tpu_xla
 mkdir -p runs/perf_r3
 echo "[$(date +%H:%M:%S)] waiting for TPU tunnel..."
 while true; do
