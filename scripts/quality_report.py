@@ -15,6 +15,10 @@ import sys
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 OUT = args[0] if args else "/root/repo/runs/quality_r3"
 WRITE = "--write" in sys.argv  # patch docs/benchmarks.md between markers
+# the mini-cpu profile writes into its own marker block so the flagship
+# tables are never overwritten by small-scale numbers
+MARKER = ("quality-mini-results" if os.path.basename(os.path.normpath(OUT))
+          == "quality_mini" else "quality-results")
 KEYS = ["hit@1", "hit@5", "hit@10", "recall@10", "ndcg@10"]
 
 
@@ -65,8 +69,8 @@ def render():
     section("Tokenizer ablation (Qwen3Multi, equal short budget)", rows)
 
     rows = []
-    for path in sorted(glob.glob(os.path.join(OUT, "rec_*", "SVADQ_*.json"))):
-        name = os.path.basename(path).replace("SVADQ_", "").replace(".json", "")
+    for path in sorted(glob.glob(os.path.join(OUT, "rec_*", "SVAD*_*.json"))):
+        name = os.path.basename(path).split("_", 1)[1].replace(".json", "")
         r = json.load(open(path))  # behavior -> {metric: v, count: n}
         total = sum(v.get("count", 0) for v in r.values()) or 1
         m = {k: sum(v.get(k, 0.0) * v.get("count", 0) for v in r.values()) / total
@@ -87,7 +91,7 @@ def main():
     print(text)
     if WRITE:
         doc = "/root/repo/docs/benchmarks.md"
-        b, e = "<!-- quality-results:begin -->", "<!-- quality-results:end -->"
+        b, e = f"<!-- {MARKER}:begin -->", f"<!-- {MARKER}:end -->"
         src = open(doc).read()
         head, rest = src.split(b, 1)
         _, tail = rest.split(e, 1)

@@ -1,9 +1,8 @@
 #!/usr/bin/env python
-"""Flagship-scale quality run (VERDICT round-2 item 6).
+"""Quality run driver: flagship-scale (TPU) or mini-scale (CPU) profiles.
 
 Reference-recipe-scale synthetic pipeline (the reference's datasets are LFS
-stubs, BASELINE.md): a ShortVideoAD-shaped corpus (12k users / 8k items /
-4-level semantic IDs / sessions / 3 behaviors), then the full chain at the
+stubs, BASELINE.md): a ShortVideoAD-shaped corpus, then the full chain at the
 reference flagship recipe (ref README.md:59-73):
 
   SemEmb (hash) -> RQVAE (4x64 codebooks) -> tokenize (rq_vae)
@@ -14,11 +13,24 @@ reference flagship recipe (ref README.md:59-73):
   -> tokenizer ablation: rq_kmeans / cid / rid (short budget)
   -> 6 discriminative models via train_SMB_rec
 
+Profiles:
+  * flagship (default) — the 12k-user recipe-scale run on the real TPU chip
+    (runs/quality_r3). Stages are tunnel-stall-aware and resume from markers.
+  * mini-cpu — the SAME chain at a CPU-feasible geometry (2.5k users, 4-layer
+    128-hidden models, runs/quality_mini, JAX_PLATFORMS=cpu children). The
+    corpus has oracle/rule headroom 6.1x (scripts/oracle_check.py), so the
+    comparison ORDERINGS (flagship > causal backbone > rule floor; learned
+    tokenizers > random IDs) are measurable at this scale. Used as evidence
+    insurance while the TPU tunnel is down; throttles itself to one core when
+    a TPU stage is live (CLAUDE.md: TPU jobs are host-bound between
+    dispatches).
+
 Stages run sequentially (the TPU is exclusive); each logs to
-runs/quality_r3/logs/<stage>.log and the summary lands in
-runs/quality_r3/summary.json. Re-running skips completed stages (marker files).
+<out>/logs/<stage>.log and the summary lands in <out>/summary.json.
+Re-running skips completed stages (marker files).
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -26,18 +38,74 @@ import sys
 import time
 
 REPO = "/root/repo"
-OUT = os.path.join(REPO, "runs", "quality_r3")
-DATA = os.path.join(OUT, "data")
-LOGS = os.path.join(OUT, "logs")
-DS = "SVADQ"
+
+PROFILES = {
+    "flagship": dict(
+        out="runs/quality_r3", ds="SVADQ",
+        spec=dict(
+            n_users=12000, n_items=8000, n_clusters=64,
+            min_len=20, max_len=120,
+            num_levels=4, level_sizes=(64, 64, 64, 64),
+            behaviors=("click", "cart", "buy"), behavior_freq=(0.6, 0.25, 0.15),
+            session_len=6, min_sessions=4, emb_dim=128,
+            # v2 sequential signal: true-oracle hit@10 0.233 vs rule floor
+            # 0.019 at this geometry (12.5x headroom; see synthetic.py)
+            cluster_stickiness=0.6, succ_per_cluster=3, item_pop_alpha=1.0,
+            behavior_stickiness_gain=0.4),
+        main_budget=dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
+                         epochs=18, patience=4, tasks="smb_explicit_decoder_4"),
+        # short equal-budget ablation: relative tokenizer ordering, not quality
+        abl_budget=dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
+                        epochs=6, patience=3, tasks="smb_explicit_decoder_4"),
+        rqvae_epochs=300, decoder_overrides=[],
+        eval_args=["--test_batch_size", 256, "--num_beams", 20,
+                   "--cache_dtype", "bfloat16"],
+        rec_budget=dict(epochs=10, patience=4),
+        env={}, throttle_when_tpu_busy=False, tpu=True,
+    ),
+    "mini-cpu": dict(
+        out="runs/quality_mini", ds="SVADM",
+        spec=dict(
+            n_users=2500, n_items=2000, n_clusters=48,
+            min_len=16, max_len=60,
+            num_levels=4, level_sizes=(64, 64, 64, 64),
+            behaviors=("click", "cart", "buy"), behavior_freq=(0.6, 0.25, 0.15),
+            session_len=5, min_sessions=4, emb_dim=128,
+            # oracle 0.288 vs rule 0.047 hit@10 (6.1x) — scripts/oracle_check.py
+            cluster_stickiness=0.6, succ_per_cluster=3, item_pop_alpha=1.0,
+            behavior_stickiness_gain=0.4),
+        main_budget=dict(batch_size=256, micro_batch_size=64, max_his_len=30,
+                         epochs=8, patience=3, tasks="smb_explicit_decoder_4"),
+        abl_budget=dict(batch_size=256, micro_batch_size=64, max_his_len=30,
+                        epochs=5, patience=2, tasks="smb_explicit_decoder_4"),
+        rqvae_epochs=150,
+        decoder_overrides=["--n_layers", 4, "--hidden_size", 128,
+                           "--logging_step", 20],
+        eval_args=["--test_batch_size", 64, "--num_beams", 10,
+                   "--cache_dtype", "float32"],
+        rec_budget=dict(epochs=6, patience=3),
+        # force the CPU backend and drop the axon plugin from the child's
+        # module path entirely — the TPU stays exclusive to the real run
+        env={"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=1"},
+        throttle_when_tpu_busy=True, tpu=False,
+    ),
+}
+
+P = PROFILES["flagship"]
+OUT = DATA = LOGS = DS = None
 SEED = 7
 INDEX_RQVAE = ".index.epoch300.alpha0.02-beta0.0001.json"
 
-FLAGSHIP = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=18, patience=4, tasks="smb_explicit_decoder_4")
-# short equal-budget ablation: relative tokenizer ordering, not best quality
-ABLATION = dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
-                epochs=6, patience=3, tasks="smb_explicit_decoder_4")
+
+def _select(profile):
+    global P, OUT, DATA, LOGS, DS, INDEX_RQVAE
+    P = PROFILES[profile]
+    OUT = os.path.join(REPO, P["out"])
+    DATA = os.path.join(OUT, "data")
+    LOGS = os.path.join(OUT, "logs")
+    DS = P["ds"]
+    INDEX_RQVAE = f".index.epoch{P['rqvae_epochs']}.alpha0.02-beta0.0001.json"
 
 
 def log(msg):
@@ -57,13 +125,39 @@ def _tpu_alive() -> bool:
     return p.returncode == 0
 
 
+def _tpu_run_active() -> bool:
+    """True if a TPU-profile pipeline (bench/quality/perf rail) is running —
+    scan /proc cmdlines; never signal anything (observation only)."""
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode(
+                errors="replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "mini" in cmd:
+            continue
+        if any(s in cmd for s in ("bench.py", "quality_run.py",
+                                  "perf_round3.sh", "bench_microbatch",
+                                  "bench_long_context", "bench_decode",
+                                  "bench_dropout")):
+            return True
+    return False
+
+
 def _run_once(name, argv, logf, timeout_s):
     """Run one stage attempt; kill the child on log-output stall (wedged
     tunnel, observed 20-90 min mid-eval). Returns (rc, stalled)."""
+    cmd = [sys.executable, "main.py"] + [str(a) for a in argv]
+    env = dict(os.environ, **{k: str(v) for k, v in P["env"].items()})
+    if P["throttle_when_tpu_busy"] and _tpu_run_active():
+        log(f"stage {name}: TPU pipeline active — throttling to core 3, nice 19")
+        cmd = ["taskset", "-c", "3", "nice", "-n", "19"] + cmd
     with open(logf, "a") as f:
-        p = subprocess.Popen([sys.executable, "main.py"]
-                             + [str(a) for a in argv],
-                             cwd=REPO, stdout=f, stderr=subprocess.STDOUT)
+        p = subprocess.Popen(cmd, cwd=REPO, stdout=f, env=env,
+                             stderr=subprocess.STDOUT)
     t0 = time.time()
     while True:
         try:
@@ -99,8 +193,8 @@ def run_stage(name, argv, timeout_s=7200):
             open(marker, "w").write(str(time.time()))
             log(f"stage {name} ok ({time.time() - t0:.0f}s)")
             return
-        if not stalled:
-            log(f"stage {name} FAILED (rc={rc}) — see {logf}")
+        if not stalled or not P["tpu"]:
+            log(f"stage {name} FAILED (rc={rc}, stalled={stalled}) — see {logf}")
             sys.exit(1)
         # wedged tunnel: cool down, wait for a live probe, then retry —
         # train stages resume from last_state (--resume_from_checkpoint is
@@ -125,16 +219,7 @@ def gen_corpus():
         return
     from gamer_tpu.data.synthetic import SyntheticSpec, write_synthetic_dataset
 
-    spec = SyntheticSpec(
-        n_users=12000, n_items=8000, n_clusters=64,
-        min_len=20, max_len=120,
-        num_levels=4, level_sizes=(64, 64, 64, 64),
-        behaviors=("click", "cart", "buy"), behavior_freq=(0.6, 0.25, 0.15),
-        session_len=6, min_sessions=4, emb_dim=128, seed=SEED,
-        # v2 sequential signal: true-oracle hit@10 0.233 vs rule floor 0.019
-        # at this geometry (12.5x headroom; see synthetic.py docstring)
-        cluster_stickiness=0.6, succ_per_cluster=3, item_pop_alpha=1.0,
-        behavior_stickiness_gain=0.4)
+    spec = SyntheticSpec(seed=SEED, **P["spec"])
     t0 = time.time()
     write_synthetic_dataset(DATA, DS, spec)
     open(marker, "w").write(str(time.time()))
@@ -152,7 +237,7 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "--batch_size", budget["batch_size"],
         "--micro_batch_size", budget["micro_batch_size"],
         "--warmup_ratio", "0.04", "--seed", SEED,
-        "--output_dir", ckpt]
+        "--output_dir", ckpt] + P["decoder_overrides"]
     # interrupted run: pick up from last_state instead of restarting
     if os.path.exists(os.path.join(ckpt, "last_state")):
         argv.append("--resume_from_checkpoint")
@@ -161,13 +246,15 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "test_SMB_decoder", "--dataset", DS, "--data_path", DATA,
         "--index_file", index_file, "--max_his_len", budget["max_his_len"],
         "--test_task", "smb_explicit", "--ckpt_path", ckpt,
-        "--test_batch_size", 256, "--num_beams", 20,
-        "--cache_dtype", "bfloat16",
-        "--results_file", os.path.join(OUT, f"results_{tag}.json")],
+        "--results_file", os.path.join(OUT, f"results_{tag}.json")]
+        + P["eval_args"],
         timeout_s=2 * 3600)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", choices=sorted(PROFILES), default="flagship")
+    _select(ap.parse_args().profile)
     os.makedirs(LOGS, exist_ok=True)
     gen_corpus()
 
@@ -179,7 +266,7 @@ def main():
     rqvae_dir = os.path.join(OUT, "rqvae")
     run_stage("rqvae", ["RQVAE", "--dataset", DS, "--data_path", DATA,
                         "--emb_file", emb, "--output_dir", rqvae_dir,
-                        "--epochs", 300, "--batch_size", 1024,
+                        "--epochs", P["rqvae_epochs"], "--batch_size", 1024,
                         "--num_emb", 64, "--num_levels", 4, "--e_dim", 32,
                         "--layers", "256,128,64", "--kmeans_init",
                         "--seed", SEED], timeout_s=3 * 3600)
@@ -187,17 +274,19 @@ def main():
                                  "--dataset", DS, "--data_path", DATA,
                                  "--ckpt_path", rqvae_dir,
                                  "--ckpt_tag", "best_collision",
-                                 "--epoch", 300, "--emb_file", emb,
-                                 "--seed", SEED])
+                                 "--epoch", P["rqvae_epochs"],
+                                 "--emb_file", emb, "--seed", SEED])
 
     # ---- flagship + backbone comparison + rule floor -----------------------
-    train_eval_decoder("qwen3multi", "Qwen3Multi", INDEX_RQVAE, FLAGSHIP)
+    train_eval_decoder("qwen3multi", "Qwen3Multi", INDEX_RQVAE,
+                       P["main_budget"])
     run_stage("rule_floor", [
         "test_SMB_rule", "--dataset", DS, "--data_path", DATA,
-        "--index_file", INDEX_RQVAE, "--max_his_len", 100,
+        "--index_file", INDEX_RQVAE,
+        "--max_his_len", P["main_budget"]["max_his_len"],
         "--test_task", "smb_explicit", "--unique",
         "--results_file", os.path.join(OUT, "results_rule.json")])
-    train_eval_decoder("qwen3", "Qwen3", INDEX_RQVAE, FLAGSHIP)
+    train_eval_decoder("qwen3", "Qwen3", INDEX_RQVAE, P["main_budget"])
 
     # ---- tokenizer ablation (short budget) ---------------------------------
     run_stage("tokenize_rqkmeans", ["tokenize", "--mode", "rq_kmeans",
@@ -211,25 +300,28 @@ def main():
     run_stage("tokenize_rid", ["tokenize", "--mode", "rid", "--dataset", DS,
                                "--data_path", DATA, "--seed", SEED])
     # highest-value comparisons first (rqvae vs rid is the headline ordering)
-    train_eval_decoder("abl_rqvae", "Qwen3Multi", INDEX_RQVAE, ABLATION)
-    train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json", ABLATION)
+    train_eval_decoder("abl_rqvae", "Qwen3Multi", INDEX_RQVAE, P["abl_budget"])
+    train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json",
+                       P["abl_budget"])
 
     # ---- discriminative zoo (before the remaining ablation arms: a whole
     # results table beats two extra rows if the round ends mid-run) ----------
     for backbone in ["SASRec", "BERT4Rec", "GRU4Rec", "MBHT", "MBSTR", "PBAT"]:
         run_stage(f"rec_{backbone}", [
             "train_SMB_rec", "--dataset", DS, "--data_path", DATA,
-            "--backbone", backbone, "--max_his_len", 100,
-            "--epochs", 10, "--patience", 4, "--seed", SEED,
+            "--backbone", backbone,
+            "--max_his_len", P["main_budget"]["max_his_len"],
+            "--epochs", P["rec_budget"]["epochs"],
+            "--patience", P["rec_budget"]["patience"], "--seed", SEED,
             "--result_dir", os.path.join(OUT, f"rec_{backbone}"),
             "--output_dir", os.path.join(OUT, f"rec_{backbone}")],
             timeout_s=3 * 3600)
 
     # ---- remaining ablation arms (sacrificeable if the round ends) ---------
     train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
-                       ABLATION)
+                       P["abl_budget"])
     train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
-                       ABLATION)
+                       P["abl_budget"])
 
     # ---- summary -----------------------------------------------------------
     summary = {}
