@@ -89,6 +89,9 @@ PROFILES = {
         env={"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
              "XLA_FLAGS": "--xla_force_host_platform_device_count=1"},
         throttle_when_tpu_busy=True, tpu=False,
+        # CPU stages can't tunnel-wedge, but first compiles + epochs on a
+        # contended 4-core host routinely exceed the TPU stall window
+        stall_s=7200,
     ),
 }
 
@@ -166,7 +169,7 @@ def _run_once(name, argv, logf, timeout_s):
         except subprocess.TimeoutExpired:
             pass
         quiet = time.time() - os.path.getmtime(logf)
-        if quiet > STALL_S:
+        if quiet > P.get("stall_s", STALL_S):
             log(f"stage {name}: no output for {quiet:.0f}s — killing pid {p.pid}")
             p.kill()
             p.wait()
