@@ -66,20 +66,23 @@ PROFILES = {
     "mini-cpu": dict(
         out="runs/quality_mini", ds="SVADM",
         spec=dict(
-            n_users=2500, n_items=2000, n_clusters=48,
-            min_len=16, max_len=60,
+            n_users=1500, n_items=2000, n_clusters=48,
+            min_len=14, max_len=50,
             num_levels=4, level_sizes=(64, 64, 64, 64),
             behaviors=("click", "cart", "buy"), behavior_freq=(0.6, 0.25, 0.15),
             session_len=5, min_sessions=4, emb_dim=128,
-            # oracle 0.288 vs rule 0.047 hit@10 (6.1x) — scripts/oracle_check.py
+            # oracle 0.262 vs rule 0.066 hit@10 (4.0x) — scripts/oracle_check.py
+            # (first sizing, 2.5k users / 4-layer / his 30, measured ~21 min
+            # per epoch on this host — a full-chain day; this geometry keeps
+            # every arm's epoch under ~5 min at 4x headroom)
             cluster_stickiness=0.6, succ_per_cluster=3, item_pop_alpha=1.0,
             behavior_stickiness_gain=0.4),
-        main_budget=dict(batch_size=256, micro_batch_size=64, max_his_len=30,
-                         epochs=8, patience=3, tasks="smb_explicit_decoder_4"),
-        abl_budget=dict(batch_size=256, micro_batch_size=64, max_his_len=30,
-                        epochs=5, patience=2, tasks="smb_explicit_decoder_4"),
+        main_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
+                         epochs=6, patience=3, tasks="smb_explicit_decoder_4"),
+        abl_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
+                        epochs=3, patience=2, tasks="smb_explicit_decoder_4"),
         rqvae_epochs=150,
-        decoder_overrides=["--n_layers", 4, "--hidden_size", 128,
+        decoder_overrides=["--n_layers", 3, "--hidden_size", 128,
                            "--logging_step", 20],
         eval_args=["--test_batch_size", 64, "--num_beams", 10,
                    "--cache_dtype", "float32"],
@@ -162,12 +165,23 @@ def _run_once(name, argv, logf, timeout_s):
         p = subprocess.Popen(cmd, cwd=REPO, stdout=f, env=env,
                              stderr=subprocess.STDOUT)
     t0 = time.time()
+    throttled = cmd[0] == "taskset"
     while True:
         try:
             rc = p.wait(timeout=30)
             return rc, False
         except subprocess.TimeoutExpired:
             pass
+        if (P["throttle_when_tpu_busy"] and not throttled
+                and _tpu_run_active()):
+            # TPU pipeline appeared mid-stage: confine the live child to one
+            # core (TPU jobs are host-bound between dispatches, CLAUDE.md)
+            log(f"stage {name}: TPU pipeline appeared — throttling pid {p.pid}")
+            subprocess.run(["taskset", "-a", "-cp", "3", str(p.pid)],
+                           capture_output=True)
+            subprocess.run(["renice", "-n", "19", "-p", str(p.pid)],
+                           capture_output=True)
+            throttled = True
         quiet = time.time() - os.path.getmtime(logf)
         if quiet > P.get("stall_s", STALL_S):
             log(f"stage {name}: no output for {quiet:.0f}s — killing pid {p.pid}")
