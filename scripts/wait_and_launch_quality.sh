@@ -1,9 +1,11 @@
 #!/bin/bash
-# v2: probe the TPU until it answers, then (1) capture bench.py FIRST — the
+# v3: probe the TPU until it answers, then (1) capture bench.py FIRST — the
 # round-2 bench artifact was lost to a tunnel outage and must be the first
-# TPU action (VERDICT r2 weak #1) — then (2) the quality run, then (3) the
-# perf rail. Each stage is marker-file idempotent so the script can be
-# relaunched after another outage.
+# TPU action (VERDICT r2 weak #1) — then (2) the PERF RAIL (bounded, ~1-2h,
+# covers VERDICT items 2-5), then (3) the quality run (many hours; its
+# remaining arms are resumable and the mini-cpu run already insures the
+# ordering evidence). Each stage is marker-file idempotent so the script can
+# be relaunched after another outage.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=$HOME/.cache/gamer_tpu_xla
@@ -29,8 +31,8 @@ if [ ! -e runs/perf_r3/.done.bench_first ]; then
     echo "[$(date +%H:%M:%S)] bench_first FAILED (continuing to quality run)"
   fi
 fi
-echo "[$(date +%H:%M:%S)] launching quality run"
-python scripts/quality_run.py
-echo "[$(date +%H:%M:%S)] quality run exited rc=$? — starting perf rail"
+echo "[$(date +%H:%M:%S)] starting perf rail"
 bash scripts/perf_round3.sh
-echo "[$(date +%H:%M:%S)] watchdog v2 complete"
+echo "[$(date +%H:%M:%S)] perf rail exited rc=$? — launching quality run"
+python scripts/quality_run.py
+echo "[$(date +%H:%M:%S)] watchdog v3 complete"
