@@ -47,6 +47,8 @@ def bench(tag, batch, variant="full"):
     import jax.numpy as jnp
     import optax
 
+    from gamer_tpu.ops import pallas_attention as PA
+
     from __graft_entry__ import _flagship_config, _make_batch
     from gamer_tpu.models.generative.qwen_family import (
         QwenFamilyModel, prepare_train_inputs)
@@ -102,10 +104,19 @@ def bench(tag, batch, variant="full"):
         assert np.isfinite(lv), f"{tag}: non-finite loss {lv}"
         return time.perf_counter() - t0
 
-    for _ in range(WARMUP):
-        run(1)
-    t_lo = min(run(STEPS_LO) for _ in range(2))
-    t_hi = min(run(STEPS_HI) for _ in range(2))
+    # "stream": force the (B, nQ)-grid streaming kernels at S<=1024 — if the
+    # (B,)-grid monolithic kernel is what regresses large micro batches, this
+    # variant is the candidate replacement threshold
+    mono_max = PA.MONO_MAX
+    if variant == "stream":
+        PA.MONO_MAX = 0
+    try:
+        for _ in range(WARMUP):
+            run(1)
+        t_lo = min(run(STEPS_LO) for _ in range(2))
+        t_hi = min(run(STEPS_HI) for _ in range(2))
+    finally:
+        PA.MONO_MAX = mono_max
     per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
     seqs = batch / per_step
     print(f"{tag}: B={batch} S={S} {variant}: {per_step * 1e3:.1f} ms/step, "
@@ -117,7 +128,7 @@ def main():
     probe()
     results = {}
     for B in (64, 128, 256):
-        for variant in ("full", "no_head", "no_moe", "no_attndrop"):
+        for variant in ("full", "no_head", "no_moe", "no_attndrop", "stream"):
             results[(B, variant)] = bench(f"micro[{B}]", B, variant)
     print("\n--- attribution (ms/step) ---")
     for B in (64, 128, 256):

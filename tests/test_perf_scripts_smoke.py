@@ -30,7 +30,7 @@ def _shrink(mod, **over):
 
 
 @pytest.mark.parametrize("variant", ["full", "no_head", "no_moe",
-                                     "no_attndrop"])
+                                     "no_attndrop", "stream"])
 def test_bench_microbatch_variants(variant):
     mod = _load("bench_microbatch")
     _shrink(mod, BLOCKS=2)
