@@ -143,12 +143,17 @@ def _tpu_run_active() -> bool:
                 errors="replace").replace("\0", " ")
         except OSError:
             continue
-        if "mini" in cmd:
+        # path-anchored patterns only: a pytest node id or an editor cmdline
+        # mentioning a script name must NOT count as a live TPU pipeline
+        if "mini" in cmd or "pytest" in cmd:
             continue
-        if any(s in cmd for s in ("bench.py", "quality_run.py",
-                                  "perf_round3.sh", "bench_microbatch",
-                                  "bench_long_context", "bench_decode",
-                                  "bench_dropout")):
+        if any(s in cmd for s in ("python bench.py", "scripts/quality_run.py",
+                                  "scripts/perf_round3.sh",
+                                  "scripts/bench_microbatch.py",
+                                  "scripts/bench_long_context.py",
+                                  "scripts/bench_decode.py",
+                                  "scripts/bench_dropout_ab.py",
+                                  "scripts/hbm_inventory.py")):
             return True
     return False
 
