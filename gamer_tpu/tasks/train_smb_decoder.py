@@ -167,6 +167,11 @@ class TrainSMBDecoder(Task):
         from gamer_tpu.tasks.train_decoder import ENCDEC_BACKBONES
 
         if backbone in ENCDEC_BACKBONES:
+            if gradient_checkpointing:
+                logger.warning(
+                    "--gradient_checkpointing is a qwen-family option; the "
+                    "enc-dec backbones train at GAMER context lengths without "
+                    "remat (flag ignored)")
             return self._run_encdec(
                 data=data, backbone=backbone, base_model=base_model,
                 output_dir=output_dir, seed=seed, epochs=epochs,
