@@ -55,7 +55,9 @@ def render():
         m = merged(os.path.join(OUT, f"results_{tag}.json"))
         if m:
             rows.append(row(label, m))
-    section("Generative (merged over behaviors, 20-beam trie-constrained)", rows)
+    beams = "20-beam " if MARKER == "quality-results" else "10-beam "
+    section(f"Generative (merged over behaviors, {beams}trie-constrained)",
+            rows)
 
     rows = []
     for tag, label in [("abl_rid", "random IDs (rid)"),
@@ -80,7 +82,10 @@ def render():
     section("Discriminative zoo (train_SMB_rec, full-sort test)", rows)
 
 
-def main():
+DOC = "/root/repo/docs/benchmarks.md"
+
+
+def main(doc: str = DOC):
     buf = io.StringIO()
     stdout, sys.stdout = sys.stdout, buf
     try:
@@ -90,7 +95,6 @@ def main():
     text = buf.getvalue()
     print(text)
     if WRITE:
-        doc = "/root/repo/docs/benchmarks.md"
         b, e = f"<!-- {MARKER}:begin -->", f"<!-- {MARKER}:end -->"
         src = open(doc).read()
         head, rest = src.split(b, 1)
