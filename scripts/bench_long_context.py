@@ -97,6 +97,13 @@ def bench(tag, blocks, batch, remat, dropout=0.2, remat_policy="attn"):
 def main():
     probe()
     bench("flagship S=505 (regression check)", blocks=101, batch=64, remat=False)
+    # large-micro-batch HBM-pressure hypothesis (VERDICT r2 weak #2): if the
+    # B=256 per-seq regression is XLA spilling under activation pressure,
+    # saving only attention outputs (remat=attn) should RECOVER throughput at
+    # large B rather than cost FLOPs
+    bench("flagship S=505 B=256 remat=off", blocks=101, batch=256, remat=False)
+    bench("flagship S=505 B=256 remat=attn", blocks=101, batch=256,
+          remat=True, remat_policy="attn")
     # remat-policy A/B (VERDICT r2 item 3): full recompute vs save-attn-outs
     # vs remat OFF where memory allows
     bench("long-context S=2045->2048 remat=full", blocks=409, batch=64,
