@@ -71,6 +71,15 @@ def render():
     section("Tokenizer ablation (Qwen3Multi, equal short budget)", rows)
 
     rows = []
+    for tag, label in [("abl_noaug", "no augmentation (smb_explicit_decoder)"),
+                       ("abl_rqvae", "**×4 session augmentation** (…_decoder_4)")]:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            rows.append(row(label, m))
+    print()
+    section("Generative-augmentation ablation (equal short budget)", rows)
+
+    rows = []
     for path in sorted(glob.glob(os.path.join(OUT, "rec_*", "SVAD*_*.json"))):
         name = os.path.basename(path).split("_", 1)[1].replace(".json", "")
         r = json.load(open(path))  # behavior -> {metric: v, count: n}

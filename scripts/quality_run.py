@@ -345,10 +345,16 @@ def main():
     train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
                        P["abl_budget"])
 
+    # ---- generative-augmentation ablation (the GAMER core trick, ref
+    # README flagship tasks=smb_explicit_decoder_4): x4 session augmentation
+    # vs none at the same short budget; compares against abl_rqvae ----------
+    train_eval_decoder("abl_noaug", "Qwen3Multi", INDEX_RQVAE,
+                       dict(P["abl_budget"], tasks="smb_explicit_decoder"))
+
     # ---- summary -----------------------------------------------------------
     summary = {}
     for tag in ["qwen3multi", "qwen3", "rule", "abl_rqvae", "abl_rqkmeans",
-                "abl_cid", "abl_rid"]:
+                "abl_cid", "abl_rid", "abl_noaug"]:
         path = os.path.join(OUT, f"results_{tag}.json")
         if os.path.exists(path):
             r = json.load(open(path))
