@@ -36,4 +36,8 @@ stage long_context python scripts/bench_long_context.py
 stage dropout_ab python scripts/bench_dropout_ab.py
 stage decode python scripts/bench_decode.py
 stage bench_final python bench.py
-echo "[$(date +%H:%M:%S)] perf rail complete"
+# runs/ is gitignored: copy the evidence into the tracked artifacts/ dir so
+# results landing after the session ends still reach the committed tree
+mkdir -p artifacts/perf_r3
+cp "$OUT"/*.log artifacts/perf_r3/ 2>/dev/null
+echo "[$(date +%H:%M:%S)] perf rail complete (logs copied to artifacts/perf_r3)"

@@ -248,6 +248,36 @@ def gen_corpus():
     log(f"corpus written ({time.time() - t0:.0f}s)")
 
 
+def write_summary():
+    """Render everything that exists so far: summary.json, a tracked copy
+    under artifacts/ (runs/ is gitignored — evidence written after the
+    session ends would otherwise never reach the committed tree), and the
+    docs/benchmarks.md marker block. Called after EVERY completed arm, not
+    just at driver completion, so an interrupted run still leaves its
+    evidence committed-able."""
+    summary = {}
+    for tag in ["qwen3multi", "qwen3", "rule", "abl_rqvae", "abl_rqkmeans",
+                "abl_cid", "abl_rid", "abl_noaug"]:
+        path = os.path.join(OUT, f"results_{tag}.json")
+        if os.path.exists(path):
+            r = json.load(open(path))
+            summary[tag] = r.get("merged", r)
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    art = os.path.join(REPO, "artifacts", os.path.basename(OUT))
+    os.makedirs(art, exist_ok=True)
+    import glob
+    import shutil
+    for p in (glob.glob(os.path.join(OUT, "results_*.json"))
+              + glob.glob(os.path.join(OUT, "rec_*", "*_*.json"))
+              + [os.path.join(OUT, "summary.json")]):
+        if os.path.exists(p):
+            shutil.copy(p, os.path.join(art, os.path.basename(p)))
+    subprocess.run([sys.executable, "scripts/quality_report.py", OUT,
+                    "--write"], cwd=REPO)
+    return summary
+
+
 def train_eval_decoder(tag, backbone, index_file, budget):
     ckpt = os.path.join(OUT, f"ckpt_{tag}")
     argv = [
@@ -271,6 +301,7 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "--results_file", os.path.join(OUT, f"results_{tag}.json")]
         + P["eval_args"],
         timeout_s=2 * 3600)
+    write_summary()
 
 
 def main():
@@ -338,6 +369,7 @@ def main():
             "--result_dir", os.path.join(OUT, f"rec_{backbone}"),
             "--output_dir", os.path.join(OUT, f"rec_{backbone}")],
             timeout_s=3 * 3600)
+        write_summary()
 
     # ---- remaining ablation arms (sacrificeable if the round ends) ---------
     train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
@@ -352,17 +384,7 @@ def main():
                        dict(P["abl_budget"], tasks="smb_explicit_decoder"))
 
     # ---- summary -----------------------------------------------------------
-    summary = {}
-    for tag in ["qwen3multi", "qwen3", "rule", "abl_rqvae", "abl_rqkmeans",
-                "abl_cid", "abl_rid", "abl_noaug"]:
-        path = os.path.join(OUT, f"results_{tag}.json")
-        if os.path.exists(path):
-            r = json.load(open(path))
-            summary[tag] = r.get("merged", r)
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-    subprocess.run([sys.executable, "scripts/quality_report.py", OUT,
-                    "--write"], cwd=REPO)
+    summary = write_summary()
     log("quality run complete")
     log(json.dumps(summary, indent=2))
 

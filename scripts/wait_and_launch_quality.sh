@@ -26,6 +26,7 @@ if [ ! -e runs/perf_r3/.done.bench_first ]; then
   echo "[$(date +%H:%M:%S)] capturing bench.py (first TPU action)"
   if timeout 3000 python bench.py > runs/perf_r3/bench_first.log 2>&1; then
     touch runs/perf_r3/.done.bench_first
+    mkdir -p artifacts/perf_r3 && cp runs/perf_r3/bench_first.log artifacts/perf_r3/
     echo "[$(date +%H:%M:%S)] bench_first ok: $(tail -1 runs/perf_r3/bench_first.log)"
   else
     echo "[$(date +%H:%M:%S)] bench_first FAILED (continuing to quality run)"
