@@ -330,16 +330,20 @@ def main():
                                  "--epoch", P["rqvae_epochs"],
                                  "--emb_file", emb, "--seed", SEED])
 
-    # ---- flagship + backbone comparison + rule floor -----------------------
-    train_eval_decoder("qwen3multi", "Qwen3Multi", INDEX_RQVAE,
-                       P["main_budget"])
+    # Stage order (round 3, markers lost to a machine reset): the flagship
+    # Qwen3Multi + rule-floor numbers from round 2 are already committed in
+    # docs/benchmarks.md, so the MISSING evidence comes first — rule floor
+    # (cheap reproducibility check), the tokenizer ablation, the
+    # discriminative zoo, the Qwen3 backbone arm — and the expensive flagship
+    # retrain runs LAST as a sacrificeable refresh.
+
+    # ---- rule floor (no training: cheap, reproduces the committed number) --
     run_stage("rule_floor", [
         "test_SMB_rule", "--dataset", DS, "--data_path", DATA,
         "--index_file", INDEX_RQVAE,
         "--max_his_len", P["main_budget"]["max_his_len"],
         "--test_task", "smb_explicit", "--unique",
         "--results_file", os.path.join(OUT, "results_rule.json")])
-    train_eval_decoder("qwen3", "Qwen3", INDEX_RQVAE, P["main_budget"])
 
     # ---- tokenizer ablation (short budget) ---------------------------------
     run_stage("tokenize_rqkmeans", ["tokenize", "--mode", "rq_kmeans",
@@ -357,8 +361,8 @@ def main():
     train_eval_decoder("abl_rid", "Qwen3Multi", ".index.rid.json",
                        P["abl_budget"])
 
-    # ---- discriminative zoo (before the remaining ablation arms: a whole
-    # results table beats two extra rows if the round ends mid-run) ----------
+    # ---- discriminative zoo (a whole results table beats two extra rows
+    # if the round ends mid-run) ---------------------------------------------
     for backbone in ["SASRec", "BERT4Rec", "GRU4Rec", "MBHT", "MBSTR", "PBAT"]:
         run_stage(f"rec_{backbone}", [
             "train_SMB_rec", "--dataset", DS, "--data_path", DATA,
@@ -371,7 +375,7 @@ def main():
             timeout_s=3 * 3600)
         write_summary()
 
-    # ---- remaining ablation arms (sacrificeable if the round ends) ---------
+    # ---- remaining ablation arms --------------------------------------------
     train_eval_decoder("abl_rqkmeans", "Qwen3Multi", ".index.rq-kmeans.json",
                        P["abl_budget"])
     train_eval_decoder("abl_cid", "Qwen3Multi", ".index.cid.chunk64.json",
@@ -382,6 +386,15 @@ def main():
     # vs none at the same short budget; compares against abl_rqvae ----------
     train_eval_decoder("abl_noaug", "Qwen3Multi", INDEX_RQVAE,
                        dict(P["abl_budget"], tasks="smb_explicit_decoder"))
+
+    # ---- backbone comparison + flagship refresh (full budget) --------------
+    # Qwen3 is causal-only, unaffected by the round-3 no-key-row semantics
+    # change, so its fresh number compares cleanly against the committed
+    # round-2 flagship 0.0792; the Qwen3Multi retrain (new semantics) runs
+    # dead last as a refresh of an already-committed result.
+    train_eval_decoder("qwen3", "Qwen3", INDEX_RQVAE, P["main_budget"])
+    train_eval_decoder("qwen3multi", "Qwen3Multi", INDEX_RQVAE,
+                       P["main_budget"])
 
     # ---- summary -----------------------------------------------------------
     summary = write_summary()

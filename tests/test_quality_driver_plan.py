@@ -34,16 +34,20 @@ def _plan(profile, monkeypatch, tmp_path):
 def test_stage_plan(profile, monkeypatch, tmp_path):
     mod, stages = _plan(profile, monkeypatch, tmp_path)
     names = [n for n, _ in stages]
+    # round-3 order: missing-evidence arms first (rule floor, tokenizer
+    # ablation, rec zoo), full-budget backbone arms last — the round-2
+    # flagship number is already committed, so its retrain is sacrificeable
     assert names == [
         "sememb", "rqvae", "tokenize_rqvae",
-        "train_qwen3multi", "eval_qwen3multi", "rule_floor",
-        "train_qwen3", "eval_qwen3",
+        "rule_floor",
         "tokenize_rqkmeans", "tokenize_cid", "tokenize_rid",
         "train_abl_rqvae", "eval_abl_rqvae", "train_abl_rid", "eval_abl_rid",
         "rec_SASRec", "rec_BERT4Rec", "rec_GRU4Rec", "rec_MBHT", "rec_MBSTR",
         "rec_PBAT",
         "train_abl_rqkmeans", "eval_abl_rqkmeans", "train_abl_cid",
         "eval_abl_cid", "train_abl_noaug", "eval_abl_noaug",
+        "train_qwen3", "eval_qwen3",
+        "train_qwen3multi", "eval_qwen3multi",
     ]
     by = dict(stages)
 
