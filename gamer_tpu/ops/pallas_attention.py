@@ -59,9 +59,9 @@ def _fmix32(x):
 
 
 def keep_fraction(rate: float) -> float:
-    """Exact keep probability after uint16 threshold quantization."""
-    thresh = min(int(round(rate * 65536.0)), 65535)
-    return (65536 - thresh) / 65536.0
+    """Exact keep probability after uint32 threshold quantization."""
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    return (4294967296 - thresh) / 4294967296.0
 
 
 def dropout_keep_tile(seed, bh, r0, c0, shape, rate: float):
@@ -69,24 +69,19 @@ def dropout_keep_tile(seed, bh, r0, c0, shape, rate: float):
     [c0, c0+shape[1]) of attention matrix (batch*num_heads + head) == bh.
     Pure function of absolute coordinates — any tiling draws the same mask.
 
-    One 32-bit hash feeds TWO Bernoullis (u16 lane halves, selected by row
-    parity): the fmix32 chain runs on a half-height tile, halving the VPU
-    hash work on the dropout path (round-2 weak #8). Requires even r0 —
-    every kernel tiling chunks rows at 256/512, and row-pair membership is
-    absolute, so any even-origin tiling draws the identical mask."""
-    R, C = shape
-    if isinstance(r0, int):  # traced origins are grid-index multiples (even)
-        assert r0 % 2 == 0, "row-pair packing needs even tile row origins"
-    Rh = (R + 1) // 2  # hash rows: one per absolute row pair
-    rows2 = jax.lax.broadcasted_iota(jnp.uint32, (Rh, C), 0) + jnp.uint32(r0 >> 1)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, (Rh, C), 1) + jnp.uint32(c0)
-    x = _fmix32(rows2 * _M3 + cols * _M1
-                + jnp.uint32(bh) * _M2 + jnp.uint32(seed))
-    # interleave the u16 halves along the sublane axis: even rows take the
-    # low half, odd rows the high half
-    h = jnp.stack([x & jnp.uint32(0xFFFF), x >> 16], axis=1).reshape(2 * Rh, C)
-    thresh = min(int(round(rate * 65536.0)), 65535)
-    return h[:R] >= jnp.uint32(thresh)
+    NEGATIVE RESULT (round 3, measured on-chip): packing two u16 Bernoullis
+    per hash word (half-height fmix32 tile + sublane interleave via
+    stack/reshape) halves the VPU hash multiplies but the interleave is a
+    sublane shuffle on every [Sq, Sk] tile — the flagship train step fell
+    919 -> 749 seq/s/chip (-19%). Same Mosaic trap as the round-1 in-kernel
+    RoPE fusion (docs/benchmarks.md). One full-height hash per element is
+    the fast layout; don't re-pack without an on-chip A/B."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(r0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(c0)
+    x = (rows * _M3 + cols * _M1
+         + jnp.uint32(bh) * _M2 + jnp.uint32(seed))
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    return _fmix32(x) >= jnp.uint32(thresh)
 
 
 def _mask_tile(kind: str, qpos, kpos, q_sid, k_sid, q_act, k_act, q_blk, k_blk, k_ok):

@@ -227,8 +227,10 @@ def test_keep_threshold_single_source():
     from gamer_tpu.modules.dropout import BitDropout, keep_threshold
 
     for rate in [0.0, 0.1, 0.2, 0.5, 0.999, 0.9999999, 1.0 - 2**-40]:
-        # attention-prob dropout packs two u16 Bernoullis per hash word
-        assert PA.keep_fraction(rate) == keep_threshold(rate, 16)[1]
+        # attention-prob dropout draws one u32 Bernoulli per hash word (the
+        # packed-u16 layout was a measured on-chip regression — see
+        # dropout_keep_tile's docstring)
+        assert PA.keep_fraction(rate) == keep_threshold(rate, 32)[1]
         for bits in (16, 32):
             t, p = keep_threshold(rate, bits)
             assert 0 <= t < (1 << bits)
