@@ -23,20 +23,33 @@ from gamer_tpu.modules.losses import sequence_ce_loss
 from gamer_tpu.ops.masks import NEG_INF
 
 
+# Covariance channels come from elu(x)+1, which UNDERFLOWS TO EXACTLY 0 in
+# f32 for x <~ -17 (1 - (1 - exp(x)) rounds to 0). A 1e-24 floor keeps the
+# FORWARD finite but the backward of m/c is -m/c^2 ~ 1e48 -> inf, and clip's
+# zero cotangent then produces inf*0 = NaN — PBAT trained to gnorm=NaN on the
+# very first step (round-3 mini quality run). The floor must keep 1/c^2
+# representable in f32.
+_COV_FLOOR = 1e-6
+
+
 def sagp(m1, m2, c1, c2):
-    c1 = jnp.clip(c1, 1e-24)
-    c2 = jnp.clip(c2, 1e-24)
+    c1 = jnp.clip(c1, _COV_FLOOR)
+    c2 = jnp.clip(c2, _COV_FLOOR)
     mean = (c1 * m2 + c2 * m1) / (c1 + c2)
     cov = 2 * (c1 * c2) / (c1 + c2)
     return mean, cov
 
 
 def tri_sagp(m1, m2, m3, c1, c2, c3):
-    c1 = jnp.clip(c1, 1e-24)
-    c2 = jnp.clip(c2, 1e-24)
-    c3 = jnp.clip(c3, 1e-24)
-    cov = 1.0 / (1.0 / c1 + 1.0 / c2 + 1.0 / c3)
-    mean = cov * (m1 / c1 + m2 / c2 + m3 / c3)
+    # reciprocal form: every intermediate (r <= 1/_COV_FLOOR, r^2 in backward)
+    # stays representable; the 1/(1/c1+1/c2+1/c3) form squares reciprocals of
+    # the raw covariances in its VJP and overflows
+    r1 = 1.0 / jnp.clip(c1, _COV_FLOOR)
+    r2 = 1.0 / jnp.clip(c2, _COV_FLOOR)
+    r3 = 1.0 / jnp.clip(c3, _COV_FLOOR)
+    denom = r1 + r2 + r3
+    cov = 1.0 / denom
+    mean = (m1 * r1 + m2 * r2 + m3 * r3) / denom
     return mean, cov
 
 
@@ -45,7 +58,8 @@ def w2_distance(m1, c1, m2, c2):
     (ref pbat.py:31-45); broadcasts leading dims."""
     mean_part = jnp.sum((m1 - m2) ** 2, axis=-1)
     cov_part = jnp.sum(
-        (jnp.sqrt(jnp.clip(c1, 1e-24)) - jnp.sqrt(jnp.clip(c2, 1e-24))) ** 2, axis=-1)
+        (jnp.sqrt(jnp.clip(c1, _COV_FLOOR)) - jnp.sqrt(jnp.clip(c2, _COV_FLOOR))) ** 2,
+        axis=-1)
     return mean_part + cov_part
 
 

@@ -144,10 +144,17 @@ def make_score_fn(backbone: str, model):
 
 def rank_targets(scores: np.ndarray, targets_padded: np.ndarray,
                  item_range=None, candidates=None) -> np.ndarray:
-    """rank of each padded target = #items scoring strictly higher.
+    """rank of each padded target, matching the reference's stable
+    `np.argsort(-scores)` (ref train_SMB_rec.py:120): ties are broken by
+    index order, so rank = #strictly-higher + #equal-with-smaller-index.
+    A strict `>` alone gives every member of a tie the BEST rank — a
+    degenerate constant/NaN scorer then reports hit=1.0 and ndcg>1 (observed
+    when PBAT trained to NaN). Non-finite scores are treated as -inf so a
+    broken model ranks last instead of first.
 
     With `candidates` [B, C] (sampled eval, ref SMBDisNegSampleEvalDataset)
     the rank is computed within targets + candidates only."""
+    scores = np.where(np.isfinite(scores), scores, -np.inf)
     tgt_scores = np.take_along_axis(scores, targets_padded, axis=1)  # [B, T]
     if candidates is not None:
         n_targets = candidates["n_targets"]
@@ -157,12 +164,23 @@ def rank_targets(scores: np.ndarray, targets_padded: np.ndarray,
         t_valid = np.arange(targets_padded.shape[1])[None] < n_targets[:, None]
         pool = np.concatenate(
             [np.where(t_valid, tgt_scores, -np.inf), cand_scores], axis=1)
-        return (pool[:, None, :] > tgt_scores[:, :, None]).sum(-1)
+        higher = (pool[:, None, :] > tgt_scores[:, :, None]).sum(-1)
+        # target j sits at pool position j; equal scores at earlier pool
+        # positions sort ahead of it under stable argsort
+        pos = np.arange(pool.shape[1])[None, None, :]
+        tpos = np.arange(targets_padded.shape[1])[None, :, None]
+        ties = ((pool[:, None, :] == tgt_scores[:, :, None])
+                & (pos < tpos)).sum(-1)
+        return higher + ties
     if item_range is not None:
         lo, hi = item_range
         valid = (np.arange(scores.shape[1]) >= lo) & (np.arange(scores.shape[1]) < hi)
         scores = np.where(valid[None], scores, -np.inf)
-    return (scores[:, None, :] > tgt_scores[:, :, None]).sum(-1)
+    higher = (scores[:, None, :] > tgt_scores[:, :, None]).sum(-1)
+    ids = np.arange(scores.shape[1])[None, None, :]
+    ties = ((scores[:, None, :] == tgt_scores[:, :, None])
+            & (ids < targets_padded[:, :, None])).sum(-1)
+    return higher + ties
 
 
 @TASKS.register("train_SMB_rec")
@@ -320,6 +338,12 @@ class TrainSMBRec(Task):
                 batch = eb.collate(chunk)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 scores = np.asarray(score_fn(variables, jbatch))[:n_real]
+                if not np.isfinite(scores).all() and not getattr(
+                        self, "_warned_nonfinite", False):
+                    self._warned_nonfinite = True
+                    logger.warning(
+                        "non-finite eval scores (model diverged?) — they rank "
+                        "LAST; check the train loss")
                 item_range = chunk[0].item_range
                 cands = None
                 if "all_item" in batch:

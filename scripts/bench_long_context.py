@@ -98,7 +98,11 @@ def main():
     probe()
     bench("flagship S=505 (regression check)", blocks=101, batch=64, remat=False)
     # large-micro-batch HBM-pressure hypothesis (VERDICT r2 weak #2): if the
-    # B=256 per-seq regression is XLA spilling under activation pressure,
+    # HYPOTHESIS REJECTED on-chip (round 3): remat=attn at B=256 measured 472
+    # seq/s vs 692 remat-off — the B>64 per-seq regression is NOT activation
+    # spilling (docs/benchmarks.md "Micro-batch scaling diagnosis"). Arms kept
+    # for regression tracking.
+    # Original hypothesis: XLA spilling under activation pressure;
     # saving only attention outputs (remat=attn) should RECOVER throughput at
     # large B rather than cost FLOPs
     bench("flagship S=505 B=256 remat=off", blocks=101, batch=256, remat=False)

@@ -41,6 +41,10 @@ def build(variant, remat=False, remat_policy="attn"):
         cfg = cfg.replace(sparse_layers=[])
     if variant == "no_attndrop":
         cfg = cfg.replace(attention_dropout=0.0)
+    if variant == "drop0":
+        # round-1's 56 GB reference point was measured at dropout 0; this arm
+        # attributes the hidden-state BitDropout mask traffic
+        cfg = cfg.replace(dropout_rate=0.0)
     model = QwenFamilyModel(cfg)
     batch = _make_batch(cfg, BATCH, BLOCKS, np.random.default_rng(0))
     key = jax.random.key(0, impl="unsafe_rbg")
@@ -84,6 +88,7 @@ def main():
         ("no_head", dict(variant="no_head")),
         ("no_moe", dict(variant="no_moe")),
         ("no_attndrop", dict(variant="no_attndrop")),
+        ("drop0", dict(variant="drop0")),
         ("remat_attn", dict(variant="full", remat=True, remat_policy="attn")),
         ("remat_full", dict(variant="full", remat=True, remat_policy="full")),
     ]:

@@ -176,3 +176,75 @@ def test_user_level_and_neg_variants(synth_dir, tmp_path):
         assert ex.all_item is not None and len(ex.all_item) <= 50
         # negatives exclude the user's history
         hist = set((corpus.user_items[0] + 1).tolist())
+
+
+def test_pbat_gaussian_ops_finite_grads_at_cov_underflow():
+    """elu(x)+1 underflows to EXACTLY 0 in f32 for x <~ -17; the Gaussian
+    product/distance ops must keep fwd AND bwd finite there (round-3 mini
+    quality run: PBAT hit gnorm=NaN on its first optimizer step and then
+    'scored' hit@10=1.0 through the old optimistic tie ranking)."""
+    from gamer_tpu.models.discriminative.pbat import sagp, tri_sagp, w2_distance
+
+    m = jnp.asarray([[1.0, -2.0], [300.0, -300.0]])
+    c0 = jnp.zeros((2, 2))  # exact underflow
+    c1 = jnp.asarray([[0.5, 2.0], [80.0, 1e-30]])
+
+    def loss_tri(c):
+        mean, cov = tri_sagp(m, 2 * m, -m, c, c1, c0)
+        return jnp.sum(mean ** 2) + jnp.sum(cov)
+
+    def loss_sagp(c):
+        mean, cov = sagp(m, 2 * m, c, c1)
+        return jnp.sum(mean ** 2) + jnp.sum(cov)
+
+    def loss_w2(c):
+        return jnp.sum(w2_distance(m, c, 2 * m, c1))
+
+    for f in (loss_tri, loss_sagp, loss_w2):
+        val, grad = jax.value_and_grad(f)(c0)
+        assert np.isfinite(float(val)), f
+        assert np.isfinite(np.asarray(grad)).all(), f
+
+
+def test_rank_targets_matches_stable_argsort_and_handles_nan():
+    """Ties and NaNs must rank like the reference's stable np.argsort(-scores)
+    (ref train_SMB_rec.py:120): equal scores break by index, non-finite
+    scores rank last — a constant or NaN scorer must NOT report hit=1/ndcg>1."""
+    from gamer_tpu.tasks.train_smb_rec import dis_eval_metrics, rank_targets
+
+    rng = np.random.default_rng(0)
+    B, N, T = 5, 40, 3
+    # quantized scores -> plenty of ties; one NaN row; one constant row
+    scores = rng.integers(0, 6, (B, N)).astype(np.float64)
+    scores[1] = np.nan
+    scores[2] = 3.14
+    targets = rng.integers(0, N, (B, T))
+
+    got = rank_targets(scores.copy(), targets)
+
+    safe = np.where(np.isfinite(scores), scores, -np.inf)
+    for b in range(B):
+        order = np.argsort(-safe[b], kind="stable")
+        for t in range(T):
+            want = int(np.where(order == targets[b, t])[0][0])
+            assert got[b, t] == want, (b, t)
+
+    n_targets = np.full(B, T)
+    m = dis_eval_metrics(got, n_targets, ["hit@10", "ndcg@10"])
+    assert m["ndcg@10"] <= B  # per-row ndcg <= 1
+    per_row = dis_eval_metrics(got[1:2], n_targets[1:2], ["hit@10", "ndcg@10"])
+    assert per_row["ndcg@10"] <= 1.0 + 1e-9
+
+    # candidates (sampled eval) path: same stable-order semantics in the pool
+    C = 10
+    cand = rng.integers(0, N, (B, C))
+    ranks = rank_targets(scores.copy(), targets,
+                         candidates={"all_item": cand,
+                                     "n_targets": n_targets})
+    for b in range(B):
+        tgt = safe[b, targets[b]]
+        pool = np.concatenate([tgt, safe[b, cand[b]]])
+        order = np.argsort(-pool, kind="stable")
+        for t in range(T):
+            want = int(np.where(order == t)[0][0])
+            assert ranks[b, t] == want, (b, t)
