@@ -14,6 +14,7 @@ progress (>1.0 = faster than round 1).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -35,20 +36,82 @@ STEPS_HI = 50
 
 
 def _probe_device(timeout_s: float = 240.0):
-    """Fail fast with an explicit error line if the TPU tunnel is wedged
-    (observed multi-hour stalls, CLAUDE.md) instead of hanging the caller.
-    The probe runs in a subprocess so a hung backend init can be killed."""
+    """Probe the TPU tunnel in a killable subprocess, retrying until
+    BENCH_PROBE_BUDGET_S (default 1800s) is exhausted.
+
+    Round-2 AND round-3 bench artifacts were null because a single fail-fast
+    probe coincided with a transient tunnel wedge (VERDICT r3 missing #5);
+    observed outages self-recover in minutes, so a transient outage must
+    degrade to a LATE capture, not a null one."""
     import subprocess
     import sys
 
-    p = subprocess.run(
-        [sys.executable, "-c",
-         "import jax, numpy as np\n"
-         "x = jax.numpy.ones((256, 256))\n"
-         "print(float(np.asarray((x @ x).sum())))"],
-        capture_output=True, timeout=timeout_s)
-    if p.returncode != 0:
-        raise RuntimeError(p.stderr.decode()[-500:])
+    budget_s = float(os.environ.get("BENCH_PROBE_BUDGET_S", "1800"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np\n"
+                 "x = jax.numpy.ones((256, 256))\n"
+                 "print(float(np.asarray((x @ x).sum())))"],
+                capture_output=True, timeout=timeout_s)
+            err = None if p.returncode == 0 else p.stderr.decode()[-500:]
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {timeout_s}s"
+        if err is None:
+            return
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(
+                f"{attempt} probe attempts over {budget_s:.0f}s: {err}")
+        print(f"# probe attempt {attempt} failed ({err.splitlines()[-1] if err.splitlines() else err}); "
+              f"{remaining:.0f}s of budget left", flush=True)
+        time.sleep(min(120.0, max(0.0, remaining)))
+
+
+# Fixed drift-normalization workload: a geometry-independent matmul chain
+# timed the same slope-fit way as the main bench. Cross-session tunnel drift
+# is ~12% (docs/benchmarks.md), so the raw seq/s number is only comparable
+# across sessions when divided by this probe's relative speed.
+# NORM_BASELINE_MS was recorded the first time this ran on the real chip
+# (round 4); drift_vs_norm > 1.0 means this session's tunnel+chip is slower
+# than that recording.
+NORM_BASELINE_MS = None  # pinned after the first on-chip capture (round 4)
+
+
+def _norm_workload_ms():
+    import jax
+
+    @jax.jit
+    def chain(x):
+        for _ in range(8):
+            x = x @ x
+            x = x / jax.numpy.sqrt(jax.numpy.mean(x * x) + 1e-6)
+        return x
+
+    # vary inputs across iterations — the axon runtime dedupes identical
+    # (executable, input) dispatches (CLAUDE.md)
+    xs = [jax.numpy.asarray(
+        np.random.default_rng(i).standard_normal((1024, 1024)),
+        dtype=jax.numpy.bfloat16) for i in range(8)]
+    out = chain(xs[0])
+    float(np.asarray(out.astype(jax.numpy.float32)).sum())  # warm + sync
+
+    def window(n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = chain(xs[i % len(xs)])
+            float(np.asarray(out.astype(jax.numpy.float32)).sum())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = window(4), window(24)
+    return (t_hi - t_lo) / 20.0 * 1000.0
 
 
 def main():
@@ -137,12 +200,21 @@ def main():
     per_step = (t_hi - t_lo) / (STEPS_HI - STEPS_LO)
     n_chips = jax.device_count()
     seqs_per_sec = BATCH / per_step / n_chips
-    print(json.dumps({
+    norm_ms = _norm_workload_ms()
+    rec = {
         "metric": "flagship_train_seqs_per_sec_per_chip",
         "value": round(seqs_per_sec, 2),
         "unit": "seq/s/chip",
         "vs_baseline": round(seqs_per_sec / ROUND1_BASELINE_SEQS_PER_SEC, 3),
-    }))
+        "norm_workload_ms": round(norm_ms, 3),
+    }
+    if NORM_BASELINE_MS is not None:
+        # drift > 1.0: session slower than the norm recording -> the
+        # drift-corrected value estimates what a nominal session would measure
+        drift = norm_ms / NORM_BASELINE_MS
+        rec["session_drift"] = round(drift, 3)
+        rec["value_drift_corrected"] = round(seqs_per_sec * drift, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,15 +1,16 @@
 #!/bin/bash
-# v3: probe the TPU until it answers, then (1) capture bench.py FIRST — the
-# round-2 bench artifact was lost to a tunnel outage and must be the first
-# TPU action (VERDICT r2 weak #1) — then (2) the PERF RAIL (bounded, ~1-2h,
-# covers VERDICT items 2-5), then (3) the quality run (many hours; its
-# remaining arms are resumable and the mini-cpu run already insures the
-# ordering evidence). Each stage is marker-file idempotent so the script can
-# be relaunched after another outage.
+# v4: probe the TPU until it answers, then (1) capture bench.py FIRST (the
+# round-2 AND round-3 bench artifacts were lost to tunnel outages at the
+# driver's capture moment; bench.py now retries its own probe under
+# BENCH_PROBE_BUDGET_S), then (2) a SHORT perf prelude (byte-target inventory
+# + profiler-trace attempt — gives the byte attack its target list without
+# eating the session), then (3) the flagship quality run (VERDICT r4 item #1:
+# THE priority — it gets the rest of the session; stages are marker-file
+# resumable). Relaunchable after an outage: every stage is idempotent.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=$HOME/.cache/gamer_tpu_xla
-mkdir -p runs/perf_r3
+mkdir -p runs/perf_r4
 echo "[$(date +%H:%M:%S)] waiting for TPU tunnel..."
 while true; do
   if timeout 180 python -c "
@@ -22,18 +23,18 @@ print(float(np.asarray((x@x).sum())))" >/dev/null 2>&1; then
   echo "[$(date +%H:%M:%S)] still wedged; retry in 180s"
   sleep 180
 done
-if [ ! -e runs/perf_r3/.done.bench_first ]; then
+if [ ! -e runs/perf_r4/.done.bench_first ]; then
   echo "[$(date +%H:%M:%S)] capturing bench.py (first TPU action)"
-  if timeout 3000 python bench.py > runs/perf_r3/bench_first.log 2>&1; then
-    touch runs/perf_r3/.done.bench_first
-    mkdir -p artifacts/perf_r3 && cp runs/perf_r3/bench_first.log artifacts/perf_r3/
-    echo "[$(date +%H:%M:%S)] bench_first ok: $(tail -1 runs/perf_r3/bench_first.log)"
+  if BENCH_PROBE_BUDGET_S=2700 timeout 4000 python bench.py > runs/perf_r4/bench_first.log 2>&1; then
+    touch runs/perf_r4/.done.bench_first
+    mkdir -p artifacts/perf_r4 && cp runs/perf_r4/bench_first.log artifacts/perf_r4/
+    echo "[$(date +%H:%M:%S)] bench_first ok: $(tail -1 runs/perf_r4/bench_first.log)"
   else
-    echo "[$(date +%H:%M:%S)] bench_first FAILED (continuing to quality run)"
+    echo "[$(date +%H:%M:%S)] bench_first FAILED (continuing)"
   fi
 fi
-echo "[$(date +%H:%M:%S)] starting perf rail"
-bash scripts/perf_round3.sh
-echo "[$(date +%H:%M:%S)] perf rail exited rc=$? — launching quality run"
+echo "[$(date +%H:%M:%S)] starting perf prelude"
+bash scripts/perf_round4.sh
+echo "[$(date +%H:%M:%S)] perf prelude exited rc=$? — launching flagship quality run"
 python scripts/quality_run.py
-echo "[$(date +%H:%M:%S)] watchdog v3 complete"
+echo "[$(date +%H:%M:%S)] watchdog v4 complete"
