@@ -26,24 +26,34 @@ def _pairwise_sq_dists(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
 
 
 def _init_centers(x: jnp.ndarray, k: int, rng: jax.Array) -> jnp.ndarray:
-    """k-means++ seeding: each center sampled proportional to squared distance
-    from the chosen set (matches sklearn's init quality, jit-compatible)."""
+    """Greedy k-means++ seeding (sklearn's variant): sample 2+log(k) candidate
+    centers proportional to squared distance from the chosen set and keep the
+    one that most reduces total potential. Matches sklearn's init quality
+    (plain single-candidate ++ measured ~10% worse ARI on planted clusters,
+    tests/test_rqvae.py golden-parity experiment), jit-compatible."""
     n = x.shape[0]
+    trials = 2 + int(np.log(max(k, 2)))
     first = jax.random.randint(rng, (), 0, n)
     centers0 = jnp.tile(x[first][None], (k, 1))
+    # running min squared distance to the chosen set
+    dmin0 = jnp.sum((x - x[first][None]) ** 2, axis=1)
 
     def body(i, carry):
-        centers, rng = carry
-        d = _pairwise_sq_dists(x, centers)  # [N, K]
-        # distance to the nearest already-chosen center (j < i)
-        mask = jnp.arange(k)[None, :] < i
-        dmin = jnp.min(jnp.where(mask, d, jnp.inf), axis=1)
+        centers, dmin, rng = carry
         rng, sub = jax.random.split(rng)
-        idx = jax.random.categorical(sub, jnp.log(jnp.clip(dmin, 1e-12)))
-        centers = centers.at[i].set(x[idx])
-        return centers, rng
+        cand = jax.random.categorical(
+            sub, jnp.log(jnp.clip(dmin, 1e-12)), shape=(trials,))  # [T]
+        cx = x[cand]  # [T, D]
+        d_cand = (jnp.sum(x * x, 1)[None, :]
+                  + jnp.sum(cx * cx, 1)[:, None]
+                  - 2.0 * cx @ x.T)  # [T, N]
+        d_new = jnp.minimum(dmin[None, :], d_cand)
+        pot = jnp.sum(d_new, axis=1)  # [T]
+        best = jnp.argmin(pot)
+        centers = centers.at[i].set(cx[best])
+        return centers, d_new[best], rng
 
-    centers, _ = jax.lax.fori_loop(1, k, body, (centers0, rng))
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers0, dmin0, rng))
     return centers
 
 
@@ -64,22 +74,35 @@ def _update_centers(x: jnp.ndarray, labels: jnp.ndarray, k: int, old: jnp.ndarra
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _kmeans_impl(x, k: int, iters: int, key):
-    centers = _init_centers(x, k, key)
+@functools.partial(jax.jit, static_argnames=("k", "iters", "n_init"))
+def _kmeans_impl(x, k: int, iters: int, key, n_init: int = 1):
+    def one(key):
+        centers = _init_centers(x, k, key)
 
-    def body(_, centers):
-        labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1)
-        return _update_centers(x, labels, k, centers)
+        def body(_, centers):
+            labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1)
+            return _update_centers(x, labels, k, centers)
 
-    centers = jax.lax.fori_loop(0, iters, body, centers)
-    labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1)
-    return centers, labels
+        centers = jax.lax.fori_loop(0, iters, body, centers)
+        d = _pairwise_sq_dists(x, centers)
+        labels = jnp.argmin(d, axis=1)
+        inertia = jnp.sum(jnp.min(d, axis=1))
+        return centers, labels, inertia
+
+    if n_init == 1:
+        centers, labels, _ = one(key)
+        return centers, labels
+    centers, labels, inertia = jax.lax.map(one, jax.random.split(key, n_init))
+    best = jnp.argmin(inertia)
+    return centers[best], labels[best]
 
 
-def kmeans(x: jnp.ndarray, k: int, iters: int = 10, seed: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Plain Lloyd k-means (jitted). Returns (centers [K, D], labels [N])."""
-    return _kmeans_impl(jnp.asarray(x, jnp.float32), k, iters, jax.random.PRNGKey(seed))
+def kmeans(x: jnp.ndarray, k: int, iters: int = 10, seed: int = 0,
+           n_init: int = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain Lloyd k-means (jitted), greedy-++ seeded; best of n_init runs by
+    inertia. Returns (centers [K, D], labels [N])."""
+    return _kmeans_impl(jnp.asarray(x, jnp.float32), k, iters,
+                        jax.random.PRNGKey(seed), n_init)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters", "epsilon", "sk_iters"))

@@ -170,7 +170,11 @@ class Tokenize(Task):
         R = x.astype(np.float32)
         codes = np.zeros((len(x), len(num_code_list)), dtype=np.int64)
         for level, k in enumerate(num_code_list):
-            centers, labels = kmeans(jnp.asarray(R), k, iters=50, seed=level)
+            # best-of-4 inits: single-init Lloyd carries ~5% inertia variance
+            # from seeding luck (tests/test_rqvae.py golden parity); tokenize
+            # is offline so the extra inits are free
+            centers, labels = kmeans(jnp.asarray(R), k, iters=50, seed=level,
+                                     n_init=4)
             centers, labels = np.asarray(centers), np.asarray(labels)
             codes[:, level] = labels
             R = R - centers[labels]
