@@ -72,46 +72,49 @@ def _probe_device(timeout_s: float = 240.0):
         time.sleep(min(120.0, max(0.0, remaining)))
 
 
-# Fixed drift-normalization workload: a geometry-independent matmul chain
+# Fixed drift-normalization workload: an HBM-BOUND sweep (the flagship step
+# itself is HBM-bound, so HBM bandwidth is the right thing to normalize by)
 # timed the same slope-fit way as the main bench. Cross-session tunnel drift
 # is ~12% (docs/benchmarks.md), so the raw seq/s number is only comparable
 # across sessions when divided by this probe's relative speed.
-# NORM_BASELINE_MS was recorded the first time this ran on the real chip
-# (round 4); drift_vs_norm > 1.0 means this session's tunnel+chip is slower
-# than that recording.
-NORM_BASELINE_MS = None  # pinned after the first on-chip capture (round 4)
+# NORM_BASELINE_MS: pin from BENCH_r04's recorded norm_workload_ms (the first
+# capture with this workload); drift > 1.0 means this session's chip+tunnel
+# is slower than that recording. (A first matmul-chain version was compute-
+# bound and finished in ~0.1 ms — unmeasurable through tunnel noise.)
+NORM_BASELINE_MS = None
 
 
 def _norm_workload_ms():
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def chain(x):
+    def sweep(x, a):
+        # 8 read+write passes over a 256 MB array ~ 4 GB of HBM traffic
         for _ in range(8):
-            x = x @ x
-            x = x / jax.numpy.sqrt(jax.numpy.mean(x * x) + 1e-6)
+            x = x * a + 0.25
         return x
 
     # vary inputs across iterations — the axon runtime dedupes identical
     # (executable, input) dispatches (CLAUDE.md)
-    xs = [jax.numpy.asarray(
-        np.random.default_rng(i).standard_normal((1024, 1024)),
-        dtype=jax.numpy.bfloat16) for i in range(8)]
-    out = chain(xs[0])
-    float(np.asarray(out.astype(jax.numpy.float32)).sum())  # warm + sync
+    xs = [jnp.full((8192, 16384), 1.0 + 1e-6 * i, jnp.bfloat16)
+          for i in range(4)]
+    a = jnp.bfloat16(1.0 + 2 ** -8)
+    out = sweep(xs[0], a)
+    float(np.asarray(out[0, :8].astype(jnp.float32)).sum())  # warm + sync
 
     def window(n):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             for i in range(n):
-                out = chain(xs[i % len(xs)])
-            float(np.asarray(out.astype(jax.numpy.float32)).sum())
+                out = sweep(xs[i % len(xs)], a)
+            float(np.asarray(out[0, :8].astype(jnp.float32)).sum())
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = window(4), window(24)
-    return (t_hi - t_lo) / 20.0 * 1000.0
+    t_lo, t_hi = window(5), window(45)
+    return (t_hi - t_lo) / 40.0 * 1000.0
 
 
 def main():
