@@ -300,3 +300,44 @@ def test_steps_strategy_eval_cadence_anchored_after_resume(tmp_path):
     t2 = trainer(resume=True)
     h2 = t2.fit(batches, eval_batches=lambda: batches())["history"]
     assert [h["step"] for h in h2] == [8], h2
+
+
+def test_auto_remat_selector_pinned_geometries():
+    """Auto remat (VERDICT r3 #7): off where round-3 on-chip runs measured a
+    fit (remat off is ~40% faster when it fits), attn where the estimate
+    exceeds the budget. Pinned so a selector regression can't silently flip
+    the flagship quality-run config."""
+    from __graft_entry__ import _flagship_config
+    from gamer_tpu.train.memory import count_params, select_remat
+
+    cfg = _flagship_config().replace(dtype="bfloat16")
+    hbm = 16e9  # v5e
+    # flagship recipe: fits with >2x headroom -> off
+    assert select_remat(cfg, 64, 505, hbm)[0] is False
+    # S=2045 B=64: measured fit, remat off 217k tok/s vs attn 154k -> off
+    assert select_remat(cfg, 64, 2048, hbm)[0] is False
+    # XL long-context at full micro: far over budget -> attn remat
+    over, policy, est = select_remat(cfg, 64, 8192, hbm)
+    assert over is True and policy == "attn"
+    assert est["total"] > 0.7 * hbm
+
+    # the analytic parameter count must track the real model (within 10%)
+    tcfg = tiny_config("Qwen3Multi")
+    model = QwenFamilyModel(tcfg)
+    batch = make_batch(np.random.default_rng(0), tcfg, 2, 3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           **prepare_train_inputs(tcfg, batch))
+    real = sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(variables["params"]))
+    approx = count_params(tcfg)
+    assert abs(approx - real) / real < 0.10, (approx, real)
+
+
+def test_auto_remat_never_triggers_on_cpu():
+    """The CPU/virtual-device test environment reports no TPU backend; the
+    selector must leave remat off regardless of geometry."""
+    from __graft_entry__ import _flagship_config
+    from gamer_tpu.train.memory import auto_remat_overrides
+
+    cfg = _flagship_config().replace(dtype="bfloat16")
+    assert auto_remat_overrides(cfg, 1024, 8192) == {}
