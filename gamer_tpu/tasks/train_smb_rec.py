@@ -144,22 +144,33 @@ def make_score_fn(backbone: str, model):
 
 def rank_targets(scores: np.ndarray, targets_padded: np.ndarray,
                  item_range=None, candidates=None) -> np.ndarray:
-    """rank of each padded target, matching the reference's stable
-    `np.argsort(-scores)` (ref train_SMB_rec.py:120): ties are broken by
-    index order, so rank = #strictly-higher + #equal-with-smaller-index.
-    A strict `>` alone gives every member of a tie the BEST rank — a
-    degenerate constant/NaN scorer then reports hit=1.0 and ndcg>1 (observed
-    when PBAT trained to NaN). Non-finite scores are treated as -inf so a
-    broken model ranks last instead of first.
+    """rank of each padded target under a deterministic stable tie policy
+    (index order, consistent with a stable argsort of -scores): rank =
+    #strictly-higher + #equal-with-smaller-index. The reference's
+    `np.argsort(-scores)` (ref train_SMB_rec.py:120) defaults to quicksort,
+    so its tie order among EQUAL scores is implementation-defined — this is
+    a sound deterministic choice, not bit-parity. A strict `>` alone gives
+    every member of a tie the BEST rank — a degenerate constant/NaN scorer
+    then reports hit=1.0 and ndcg>1 (observed when PBAT trained to NaN).
+    Non-finite scores are treated as -inf so a broken model ranks last.
 
     With `candidates` [B, C] (sampled eval, ref SMBDisNegSampleEvalDataset)
-    the rank is computed within targets + candidates only."""
+    the rank is computed within a pool of exactly C entries: the valid
+    targets followed by the first C - n_targets negatives — the reference
+    collator truncates `(target_item + neg_item)[:num_neg]`
+    (ref datasets/collator_traditional.py:30-31), dropping the last
+    len(targets) negatives."""
     scores = np.where(np.isfinite(scores), scores, -np.inf)
     tgt_scores = np.take_along_axis(scores, targets_padded, axis=1)  # [B, T]
     if candidates is not None:
         n_targets = candidates["n_targets"]
         cand = candidates["all_item"]
         cand_scores = np.take_along_axis(scores, cand, axis=1)  # [B, C]
+        # reference pool truncation: keep only the first C - n_targets
+        # negatives so the pool stays at C entries total
+        c_valid = (np.arange(cand.shape[1])[None]
+                   < cand.shape[1] - n_targets[:, None])
+        cand_scores = np.where(c_valid, cand_scores, -np.inf)
         # padded target slots must not pollute the pool
         t_valid = np.arange(targets_padded.shape[1])[None] < n_targets[:, None]
         pool = np.concatenate(

@@ -235,7 +235,10 @@ def test_rank_targets_matches_stable_argsort_and_handles_nan():
     per_row = dis_eval_metrics(got[1:2], n_targets[1:2], ["hit@10", "ndcg@10"])
     assert per_row["ndcg@10"] <= 1.0 + 1e-9
 
-    # candidates (sampled eval) path: same stable-order semantics in the pool
+    # candidates (sampled eval) path: same stable-order semantics in the
+    # pool, which the reference collator truncates to num_neg entries —
+    # targets first, then the first C - n_targets negatives
+    # (ref datasets/collator_traditional.py:30-31)
     C = 10
     cand = rng.integers(0, N, (B, C))
     ranks = rank_targets(scores.copy(), targets,
@@ -243,7 +246,7 @@ def test_rank_targets_matches_stable_argsort_and_handles_nan():
                                      "n_targets": n_targets})
     for b in range(B):
         tgt = safe[b, targets[b]]
-        pool = np.concatenate([tgt, safe[b, cand[b]]])
+        pool = np.concatenate([tgt, safe[b, cand[b, :C - T]]])
         order = np.argsort(-pool, kind="stable")
         for t in range(T):
             want = int(np.where(order == t)[0][0])
