@@ -257,7 +257,7 @@ def write_summary():
     evidence committed-able."""
     summary = {}
     for tag in ["qwen3multi", "qwen3", "rule", "abl_rqvae", "abl_rqkmeans",
-                "abl_cid", "abl_rid", "abl_noaug"]:
+                "abl_cid", "abl_rid", "abl_noaug", "tiger"]:
         path = os.path.join(OUT, f"results_{tag}.json")
         if os.path.exists(path):
             r = json.load(open(path))
@@ -386,6 +386,11 @@ def main():
     # vs none at the same short budget; compares against abl_rqvae ----------
     train_eval_decoder("abl_noaug", "Qwen3Multi", INDEX_RQVAE,
                        dict(P["abl_budget"], tasks="smb_explicit_decoder"))
+
+    # ---- enc-dec generative arm (VERDICT r3 #8: TIGER end-to-end in a
+    # quality table — train -> trie-constrained beam eval), same short
+    # budget/index as abl_rqvae so the rows compare directly ---------------
+    train_eval_decoder("tiger", "TIGER", INDEX_RQVAE, P["abl_budget"])
 
     # ---- backbone comparison + flagship refresh (full budget) --------------
     # Qwen3 is causal-only, unaffected by the round-3 no-key-row semantics

@@ -46,6 +46,7 @@ def test_stage_plan(profile, monkeypatch, tmp_path):
         "rec_PBAT",
         "train_abl_rqkmeans", "eval_abl_rqkmeans", "train_abl_cid",
         "eval_abl_cid", "train_abl_noaug", "eval_abl_noaug",
+        "train_tiger", "eval_tiger",
         "train_qwen3", "eval_qwen3",
         "train_qwen3multi", "eval_qwen3multi",
     ]
