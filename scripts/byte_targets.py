@@ -22,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # env alone does not win over the axon plugin (CLAUDE.md); needed for a
+    # CPU-side provisional inventory while the chip is busy
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 BLOCKS = 101
 OUT = "runs/perf_r4"
 

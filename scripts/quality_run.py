@@ -57,6 +57,14 @@ PROFILES = {
         # short equal-budget ablation: relative tokenizer ordering, not quality
         abl_budget=dict(batch_size=1024, micro_batch_size=64, max_his_len=100,
                         epochs=6, patience=3, tasks="smb_explicit_decoder_4"),
+        # enc-dec from scratch needs far more optimizer updates than the
+        # decoder arms (reference trains TIGER 200 epochs at 5e-4,
+        # scripts/train_decoder.sh:5-8); compute-feasible equivalent here is
+        # a higher LR + a longer budget (pilot-validated: 3e-3 converges
+        # stably where the 6-epoch 5e-4 arm stays ~2 CE above par)
+        tiger_budget=dict(batch_size=1024, micro_batch_size=64,
+                          max_his_len=100, epochs=24, patience=5, lr=3e-3,
+                          tasks="smb_explicit_decoder_4"),
         rqvae_epochs=300, decoder_overrides=[],
         eval_args=["--test_batch_size", 256, "--num_beams", 20,
                    "--cache_dtype", "bfloat16"],
@@ -81,6 +89,9 @@ PROFILES = {
                          epochs=6, patience=3, tasks="smb_explicit_decoder_4"),
         abl_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
                         epochs=3, patience=2, tasks="smb_explicit_decoder_4"),
+        tiger_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
+                          epochs=20, patience=4, lr=3e-3,
+                          tasks="smb_explicit_decoder_4"),
         rqvae_epochs=150,
         decoder_overrides=["--n_layers", 3, "--hidden_size", 128,
                            "--logging_step", 20],
@@ -290,6 +301,8 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "--micro_batch_size", budget["micro_batch_size"],
         "--warmup_ratio", "0.04", "--seed", SEED,
         "--output_dir", ckpt] + P["decoder_overrides"]
+    if "lr" in budget:
+        argv += ["--learning_rate", budget["lr"]]
     # interrupted run: pick up from last_state instead of restarting
     if os.path.exists(os.path.join(ckpt, "last_state")):
         argv.append("--resume_from_checkpoint")
@@ -388,9 +401,11 @@ def main():
                        dict(P["abl_budget"], tasks="smb_explicit_decoder"))
 
     # ---- enc-dec generative arm (VERDICT r3 #8: TIGER end-to-end in a
-    # quality table — train -> trie-constrained beam eval), same short
-    # budget/index as abl_rqvae so the rows compare directly ---------------
-    train_eval_decoder("tiger", "TIGER", INDEX_RQVAE, P["abl_budget"])
+    # quality table — train -> trie-constrained beam eval). Own budget: the
+    # reference trains TIGER 200 epochs (train_decoder.sh:8) — at the short
+    # ablation budget the enc-dec is simply undertrained (measured: valid CE
+    # 5.19 vs ~3.1 for the decoder arms at mini scale) ----------------------
+    train_eval_decoder("tiger", "TIGER", INDEX_RQVAE, P["tiger_budget"])
 
     # ---- backbone comparison + flagship refresh (full budget) --------------
     # Qwen3 is causal-only, unaffected by the round-3 no-key-row semantics
