@@ -140,21 +140,28 @@ class PositionRoutedMLP(nn.Module):
             assert P is not None and x.shape[1] % P == 0, "periodic path needs S % P == 0"
             b, s, _ = x_in.shape
             xb = x_in.reshape(b, s // P, P, x_in.shape[-1])
+            # expert-major layout: [P, b, n, d] makes each within-block
+            # position's tokens contiguous, so the per-expert dots lower to
+            # clean batched matmuls instead of the strided slice copies XLA
+            # emits for a mid-tensor batch axis (round-4 byte inventory:
+            # dozens of 26-92 MB async copies per step on the [b,n,p,·]
+            # operands)
+            xp = xb.transpose(2, 0, 1, 3)
 
             def periodic_out(w_sel):
                 # w_sel: P stacked experts, one per within-block position
                 act = _act(self.hidden_act)
                 if self.mlp_type == "qwen3":
-                    # fused gate-up (see _apply_expert): xb read once
+                    # fused gate-up (see _apply_expert): xp read once
                     gu = jnp.einsum(
-                        "bnpd,pdf->bnpf", xb,
+                        "pbnd,pdf->pbnf", xp,
                         jnp.concatenate([w_sel["gate"], w_sel["up"]], axis=-1))
                     h = act(gu[..., :self.d_ff]) * gu[..., self.d_ff:]
                     h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
-                    return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["down"])
-                h = act(jnp.einsum("bnpd,pdf->bnpf", xb, w_sel["wi"]))
+                    return jnp.einsum("pbnf,pfd->pbnd", h, w_sel["down"])
+                h = act(jnp.einsum("pbnd,pdf->pbnf", xp, w_sel["wi"]))
                 h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
-                return jnp.einsum("bnpf,pfd->bnpd", h, w_sel["wo"])
+                return jnp.einsum("pbnf,pfd->pbnd", h, w_sel["wo"])
 
             if expert_index is not None:
                 # MoeAction factorized fast path: expert = P*(a-1) + p with the
@@ -171,16 +178,17 @@ class PositionRoutedMLP(nn.Module):
                 # invariant: pad labels are ignored and pad keys are masked
                 # (see test_moe_action_periodic_equals_onehot).
                 a_blk = jnp.where(e0 > 0, (e0 - 1) // P + 1, 0)  # 0 = pad/eos block
-                out = jnp.zeros((b, s // P, P, self.d_out), dtype=x_in.dtype)
+                out = jnp.zeros((P, b, s // P, self.d_out), dtype=x_in.dtype)
                 for a in range(1, self.num_behavior + 1):
                     w_a = {k: v[P * (a - 1) + 1: P * (a - 1) + 1 + P]
                            for k, v in params.items()}
-                    gate_a = (a_blk == a).astype(x_in.dtype)[:, :, None, None]
+                    gate_a = (a_blk == a).astype(x_in.dtype)[None, :, :, None]
                     out = out + periodic_out(w_a) * gate_a
             else:
                 # select experts 1..P (leading axis) and batch the P matmuls
                 out = periodic_out({k: v[1:P + 1] for k, v in params.items()})
-            out = out.reshape(b, s, self.d_out)
+            # back to token order for the residual stream
+            out = out.transpose(1, 2, 0, 3).reshape(b, s, self.d_out)
             if shared_out is not None:
                 out = jnp.concatenate([out, shared_out], axis=-1)
             return out.astype(x.dtype)

@@ -49,12 +49,15 @@ _M3 = np.uint32(0x9E3779B1)
 
 
 def _fmix32(x):
-    """murmur3 finalizer: bijective 32-bit avalanche."""
+    """Single-mul mixer (xorshift-multiply-xorshift): statistically
+    equivalent for dropout to the murmur3 finalizer it replaced (keep rate
+    exact by construction, row/col keep-count variance binomial, adjacent-
+    lane correlation <0.3% measured offline) at half the VPU multiplies —
+    on-chip A/B: 916.9 -> 932.6 seq/s/chip (+1.7%), main re-benched at
+    916.1 after, so the gain is not drift (artifacts/perf_r4)."""
     x = x ^ (x >> 16)
     x = x * _M1
-    x = x ^ (x >> 13)
-    x = x * _M2
-    x = x ^ (x >> 16)
+    x = x ^ (x >> 15)
     return x
 
 

@@ -60,10 +60,11 @@ PROFILES = {
         # enc-dec from scratch needs far more optimizer updates than the
         # decoder arms (reference trains TIGER 200 epochs at 5e-4,
         # scripts/train_decoder.sh:5-8); compute-feasible equivalent here is
-        # a higher LR + a longer budget (pilot-validated: 3e-3 converges
-        # stably where the 6-epoch 5e-4 arm stays ~2 CE above par)
+        # a moderately higher LR + a longer budget (3e-3 was unstable —
+        # eval CE bounced ±0.3/epoch at mini scale and diverged at flagship
+        # batch 1024)
         tiger_budget=dict(batch_size=1024, micro_batch_size=64,
-                          max_his_len=100, epochs=24, patience=5, lr=3e-3,
+                          max_his_len=100, epochs=30, patience=6, lr=1e-3,
                           tasks="smb_explicit_decoder_4"),
         rqvae_epochs=300, decoder_overrides=[],
         eval_args=["--test_batch_size", 256, "--num_beams", 20,
@@ -90,7 +91,7 @@ PROFILES = {
         abl_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
                         epochs=3, patience=2, tasks="smb_explicit_decoder_4"),
         tiger_budget=dict(batch_size=128, micro_batch_size=64, max_his_len=20,
-                          epochs=20, patience=4, lr=3e-3,
+                          epochs=40, patience=8, lr=1e-3,
                           tasks="smb_explicit_decoder_4"),
         rqvae_epochs=150,
         decoder_overrides=["--n_layers", 3, "--hidden_size", 128,
