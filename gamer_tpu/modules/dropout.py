@@ -15,6 +15,8 @@ SeqRec/models/generative/Qwen3Moe/FFN.py:23-26.
 
 from __future__ import annotations
 
+from functools import partial
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,46 @@ def keep_threshold(rate: float, bits: int = 32) -> tuple[int, float]:
     return thresh, (span - thresh) / span
 
 
+def _keep_mask(rng, shape, n, threshold):
+    # two u16 lanes per 32-bit generator word: threefry's sub-32-bit draw
+    # runs one full 2x32 hash per ELEMENT and truncates (jax
+    # _threefry_random_bits_partitionable), so drawing half as many u32
+    # words and bitcasting halves the hash work; under rbg it halves the
+    # RngBitGenerator output volume.
+    half = (n + 1) // 2
+    bits32 = jax.random.bits(rng, (half,), jnp.uint32)
+    bits = jax.lax.bitcast_convert_type(bits32, jnp.uint16)
+    bits = bits.reshape(-1)[:n].reshape(shape)
+    return bits >= jnp.uint16(threshold)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _bit_dropout(x, rng, threshold, keep_prob):
+    keep = _keep_mask(rng, x.shape, x.size, threshold)
+    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+def _bit_dropout_fwd(x, rng, threshold, keep_prob):
+    # Residual is the KEY ONLY: the backward regenerates the mask bits
+    # instead of autodiff saving a pred[x.shape] mask buffer through the
+    # whole backward (round-4 byte inventory: those saved masks were the #2
+    # HBM byte class). rng regen under rbg keys is far cheaper than the
+    # mask's HBM round-trip.
+    return _bit_dropout(x, rng, threshold, keep_prob), (rng, x.shape, x.size)
+
+
+def _bit_dropout_bwd(threshold, keep_prob, res, g):
+    rng, shape, n = res
+    keep = _keep_mask(rng, shape, n, threshold)
+    scale = jnp.asarray(1.0 / keep_prob, g.dtype)
+    dx = jnp.where(keep, g * scale, jnp.zeros((), g.dtype))
+    return dx, None
+
+
+_bit_dropout.defvjp(_bit_dropout_fwd, _bit_dropout_bwd)
+
+
 class BitDropout(nn.Module):
     rate: float
     rng_collection: str = "dropout"
@@ -47,16 +89,4 @@ class BitDropout(nn.Module):
             return jnp.zeros_like(x)
         threshold, keep_prob = keep_threshold(self.rate, bits=16)
         rng = self.make_rng(self.rng_collection)
-        # two u16 lanes per 32-bit generator word: threefry's sub-32-bit draw
-        # runs one full 2x32 hash per ELEMENT and truncates (jax
-        # _threefry_random_bits_partitionable), so drawing half as many u32
-        # words and bitcasting halves the hash work; under rbg it halves the
-        # RngBitGenerator output volume.
-        n = x.size
-        half = (n + 1) // 2
-        bits32 = jax.random.bits(rng, (half,), jnp.uint32)
-        bits = jax.lax.bitcast_convert_type(bits32, jnp.uint16)
-        bits = bits.reshape(-1)[:n].reshape(x.shape)
-        keep = bits >= jnp.uint16(threshold)
-        scale = jnp.asarray(1.0 / keep_prob, x.dtype)
-        return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+        return _bit_dropout(x, rng, threshold, keep_prob)
