@@ -240,3 +240,30 @@ def test_keep_threshold_single_source():
     y = m.apply({}, jnp.ones((4, 8)), deterministic=False,
                 rngs={"dropout": jax.random.PRNGKey(0)})
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bit_dropout_custom_vjp_bit_identical():
+    """BitDropout's backward regenerates the keep mask from the rng key
+    (custom VJP, residual = key only — no pred mask saved to HBM); gradients
+    must be BIT-identical to autodiff of the same where(keep, x*scale, 0)
+    formulation."""
+    from gamer_tpu.modules.dropout import _bit_dropout, _keep_mask, keep_threshold
+
+    key = jax.random.key(7, impl="unsafe_rbg")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 33, 65)),
+                    jnp.bfloat16)
+    thr, kp = keep_threshold(0.2, bits=16)
+
+    def autodiff_form(x):
+        keep = _keep_mask(key, x.shape, x.size, thr)
+        scale = jnp.asarray(1.0 / kp, x.dtype)
+        y = jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    def custom_form(x):
+        return (_bit_dropout(x, key, thr, kp).astype(jnp.float32) ** 2).sum()
+
+    vo, go = jax.value_and_grad(autodiff_form)(x)
+    vn, gn = jax.value_and_grad(custom_form)(x)
+    assert float(vo) == float(vn)
+    np.testing.assert_array_equal(np.asarray(go), np.asarray(gn))

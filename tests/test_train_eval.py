@@ -341,3 +341,28 @@ def test_auto_remat_never_triggers_on_cpu():
 
     cfg = _flagship_config().replace(dtype="bfloat16")
     assert auto_remat_overrides(cfg, 1024, 8192) == {}
+
+
+def test_causal_lm_loss_matches_full_f32_log_softmax():
+    """The byte-lean CE (bf16 logits, per-reduction on-the-fly fp32 views —
+    no materialized f32[B,S,V]) must match a full-f32 log_softmax reference
+    exactly: an fp32 cast of bf16 inputs adds no information, so the two
+    formulations are the same function."""
+    from gamer_tpu.modules.losses import IGNORE_LABEL, causal_lm_loss_with_denom
+
+    rng = np.random.default_rng(0)
+    B, S, V = 4, 12, 37
+    logits = jnp.asarray(rng.normal(0, 4, (B, S, V)), dtype=jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, V, (B, S)))
+    labels = labels.at[:, :3].set(IGNORE_LABEL)
+    loss, denom = causal_lm_loss_with_denom(logits, labels, temperature=0.7)
+
+    lf = logits[:, :-1].astype(jnp.float32) / 0.7
+    t = labels[:, 1:]
+    valid = t != IGNORE_LABEL
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, jnp.where(valid, t, 0)[..., None], axis=-1)[..., 0]
+    ref = jnp.where(valid, nll, 0).sum() / valid.sum()
+    assert int(denom) == int(valid.sum())
+    np.testing.assert_allclose(float(loss), float(ref), rtol=0, atol=1e-5)
