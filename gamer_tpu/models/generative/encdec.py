@@ -108,7 +108,23 @@ class T5Attention(nn.Module):
         cfg = self.cfg
         H, dk = cfg.num_heads, cfg.d_kv
         inner = H * dk
-        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=cfg.jax_dtype, name=name)
+        # T5 drops the 1/sqrt(dk) softmax scale and compensates with
+        # factor-scaled init (HF T5PreTrainedModel._init_weights): q ~
+        # N(0, (d_model*d_kv)^-1/2), k/v ~ N(0, d_model^-1/2), o ~
+        # N(0, (H*d_kv)^-1/2). With a generic fan-in init the q projection
+        # is ~8x too large, attention scores at init have std ~8, the
+        # softmax saturates, and (cross-)attention never receives gradient —
+        # the decoder then converges to the unconditional target marginal
+        # (diagnosed on the round-4 flagship TIGER arm: trained logits were
+        # history-invariant and beam eval landed at popularity level).
+        t5_init = {
+            "q": nn.initializers.normal(stddev=(cfg.d_model * dk) ** -0.5),
+            "k": nn.initializers.normal(stddev=cfg.d_model ** -0.5),
+            "v": nn.initializers.normal(stddev=cfg.d_model ** -0.5),
+            "o": nn.initializers.normal(stddev=(H * dk) ** -0.5),
+        }
+        dense = lambda f, name: nn.Dense(f, use_bias=False, dtype=cfg.jax_dtype,
+                                         kernel_init=t5_init[name], name=name)
         b, sq, _ = x.shape
         q = dense(inner, "q")(x).reshape(b, sq, H, dk)
 
@@ -154,6 +170,8 @@ class T5Attention(nn.Module):
                                  cfg.relative_attention_num_buckets,
                                  cfg.relative_attention_max_distance)
             table = nn.Embed(cfg.relative_attention_num_buckets, H,
+                             embedding_init=nn.initializers.normal(
+                                 stddev=cfg.d_model ** -0.5),
                              dtype=cfg.jax_dtype, name="rel_bias")(buckets)
             pos_bias = jnp.transpose(table, (2, 0, 1))[None]  # [1, H, Sq, Sk]
         if pos_bias is not None:
@@ -212,8 +230,11 @@ class EncDecModel(nn.Module):
         emit_cross_kv: bool = False,  # prefill: return projected cross k/v per layer
     ) -> dict:
         cfg = self.cfg
-        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.jax_dtype,
-                         name="shared")
+        # HF T5 shared embedding init is N(0, 1) — the tied head's
+        # d_model^-0.5 logit scale assumes O(1)-std embeddings
+        embed = nn.Embed(cfg.vocab_size, cfg.d_model,
+                         embedding_init=nn.initializers.normal(stddev=1.0),
+                         dtype=cfg.jax_dtype, name="shared")
         drop = lambda y: nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(y)
 
         # ---------------- encoder ----------------
@@ -304,6 +325,8 @@ class EncDecModel(nn.Module):
             logits = embed.attend(h * (cfg.d_model ** -0.5))
         else:
             logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.jax_dtype,
+                              kernel_init=nn.initializers.normal(
+                                  stddev=cfg.d_model ** -0.5),
                               name="lm_head")(h)
         return {"logits": logits, "encoder_hidden": encoder_hidden,
                 "caches": new_caches}
