@@ -50,7 +50,7 @@ def section(title, rows):
 def render():
     rows = []
     for tag, label in [("rule", "rule floor (repeat history, unique)"),
-                       ("tiger", "TIGER (enc-dec, short budget)"),
+                       ("tiger", "TIGER (enc-dec, own budget)"),
                        ("qwen3", "Qwen3 (causal backbone, full budget)"),
                        ("qwen3multi", "**Qwen3Multi (flagship, full budget)**")]:
         m = merged(os.path.join(OUT, f"results_{tag}.json"))
