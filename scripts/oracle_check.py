@@ -81,6 +81,81 @@ def headroom(spec: SyntheticSpec, topk: int = 10) -> dict:
             "rule_hit@10": rule_hits / n_eval, "n_eval": n_eval}
 
 
+def headroom_v3(spec: SyntheticSpec, topk: int = 10) -> dict:
+    """Action-conditional headroom of a v3 corpus (VERDICT r4 #1 prong a).
+
+    Evaluates hit@10 on the TARGET-level events of each user's HELD-OUT last
+    session, using only prompt information (events before the last session —
+    the exact eval protocol of build_session_eval_examples):
+
+      aware  — pools the previous session's CART-level events (needs action
+               levels), majority cluster -> P -> rank the mapped target
+               cluster's items by popularity; the generator's own rule.
+      blind  — same aggregate but over ALL lower-level events of the previous
+               session (cannot condition on action level, so the click noise
+               votes too). The aware/blind gap IS the action-conditional
+               signal a causal-only model must synthesize attention to close.
+      rule   — repeat-history floor (top-k most frequent prompt items), what
+               test_SMB_rule computes.
+      rule_reserved — rule restricted to reserved (target-able) items: the
+               strongest behavior-aware static floor.
+    """
+    data = generate(spec)
+    lat = data.latent
+    item_cluster = lat["item_cluster"]
+    v3 = lat["v3"]
+    P, pop_cdf, cluster_items = v3["P"], v3["pop_cdf"], v3["cluster_items"]
+    n_content = v3["n_content"]
+    K = len(spec.behaviors)
+    level_of = {b: i for i, b in enumerate(spec.behaviors)}
+
+    def top_items(c, k):
+        idx = cluster_items[c]
+        p = np.diff(np.concatenate([[0.0], pop_cdf[c]]))
+        return idx[np.argsort(-p)][:k]
+
+    hits = {"aware": 0, "blind": 0, "rule": 0, "rule_reserved": 0}
+    n_eval = 0
+    for u in range(spec.n_users):
+        seq = np.asarray(data.inters[str(u)])
+        behs = np.asarray([level_of[b] for b in data.behaviors[str(u)]])
+        sids = np.asarray(data.sessions[str(u)])
+        last_s = sids[-1]
+        cut = int(np.argmax(sids == last_s))
+        tgt = seq[cut:][behs[cut:] == K - 1]
+        if len(tgt) == 0 or cut == 0:
+            continue
+        prompt, pbehs, psids = seq[:cut], behs[:cut], sids[:cut]
+        prev_mask = psids == (last_s - 1)
+        carts = prompt[prev_mask & (pbehs == K - 2)]
+        lowers = prompt[prev_mask & (pbehs < K - 1)]
+
+        def agg_pred(events):
+            cl = item_cluster[events]
+            cl = cl[cl < n_content]
+            if len(cl) == 0:
+                return None
+            m = int(np.bincount(cl).argmax())
+            return set(top_items(int(P[m]), topk).tolist())
+
+        aware = agg_pred(carts)
+        blind = agg_pred(lowers)
+        vals, counts = np.unique(prompt, return_counts=True)
+        rule = set(vals[np.argsort(-counts)][:topk].tolist())
+        resv = vals[item_cluster[vals] >= n_content]
+        rcounts = counts[item_cluster[vals] >= n_content]
+        rule_r = set(resv[np.argsort(-rcounts)][:topk].tolist())
+        for t in tgt:
+            n_eval += 1
+            hits["aware"] += int(aware is not None and int(t) in aware)
+            hits["blind"] += int(blind is not None and int(t) in blind)
+            hits["rule"] += int(int(t) in rule)
+            hits["rule_reserved"] += int(int(t) in rule_r)
+    out = {f"{k}_hit@10": v / max(n_eval, 1) for k, v in hits.items()}
+    out["n_eval"] = n_eval
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--users", type=int, default=2500)
@@ -92,7 +167,33 @@ def main():
     ap.add_argument("--stickiness", type=float, default=0.6)
     ap.add_argument("--pop_alpha", type=float, default=1.0)
     ap.add_argument("--beh_gain", type=float, default=0.4)
+    ap.add_argument("--v3", action="store_true",
+                    help="action-conditional (v3) corpus + aware/blind oracles")
+    ap.add_argument("--target_rule_p", type=float, default=0.9)
+    ap.add_argument("--n_target_clusters", type=int, default=24)
+    ap.add_argument("--target_cluster_size", type=int, default=10)
+    ap.add_argument("--session_topic_q", type=float, default=0.9)
+    ap.add_argument("--click_topic_q", type=float, default=0.0)
+    ap.add_argument("--cart_freq", type=float, default=0.3)
     a = ap.parse_args()
+    if a.v3:
+        spec = SyntheticSpec(
+            n_users=a.users, n_items=a.items, n_clusters=a.clusters,
+            min_len=a.min_len, max_len=a.max_len, num_levels=4,
+            level_sizes=(64, 64, 64, 64), behaviors=("click", "cart", "buy"),
+            behavior_freq=(1.0 - a.cart_freq - 0.15, a.cart_freq, 0.15),
+            session_len=6, min_sessions=4,
+            emb_dim=128, seed=a.seed, item_pop_alpha=a.pop_alpha,
+            target_rule_p=a.target_rule_p,
+            n_target_clusters=a.n_target_clusters,
+            target_cluster_size=a.target_cluster_size,
+            session_topic_q=a.session_topic_q, click_topic_q=a.click_topic_q)
+        r = headroom_v3(spec)
+        print({"geometry": f"{a.users}u/{a.items}i/{a.clusters}c", **r,
+               "aware_vs_blind": r["aware_hit@10"] / max(r["blind_hit@10"], 1e-9),
+               "aware_vs_rule": r["aware_hit@10"]
+               / max(max(r["rule_hit@10"], r["rule_reserved_hit@10"]), 1e-9)})
+        return
     spec = SyntheticSpec(
         n_users=a.users, n_items=a.items, n_clusters=a.clusters,
         min_len=a.min_len, max_len=a.max_len, num_levels=4,

@@ -310,3 +310,50 @@ def test_synthetic_v2_sequential_signal():
     a = generate(SyntheticSpec(**base))
     b = generate(SyntheticSpec(**base))
     assert a.inters == b.inters and a.behaviors == b.behaviors
+
+
+def test_synthetic_v3_action_conditional_signal():
+    """The v3 corpus plants the action-conditional aggregate (target cluster =
+    P[majority cart cluster of the previous session]) and keeps item pools
+    disjoint so repeat-history cannot follow it. Pins: determinism, the
+    reserved-cluster partition, and that the planted rule actually fires at
+    ~target_rule_p among sessions whose previous-session majority is defined."""
+    import numpy as np
+
+    from gamer_tpu.data.synthetic import SyntheticSpec, generate
+
+    spec = SyntheticSpec(
+        n_users=400, n_items=1500, n_clusters=32, min_len=20, max_len=60,
+        behaviors=("click", "cart", "buy"), behavior_freq=(0.5, 0.35, 0.15),
+        session_len=6, min_sessions=4, seed=3, item_pop_alpha=1.0,
+        target_rule_p=0.9, n_target_clusters=12, target_cluster_size=10,
+        session_topic_q=0.9, click_topic_q=0.0, pref_concentration=0.08)
+    d1 = generate(spec)
+    d2 = generate(spec)
+    assert d1.inters == d2.inters and d1.behaviors == d2.behaviors
+
+    ic = d1.latent["item_cluster"]
+    v3 = d1.latent["v3"]
+    n_content = v3["n_content"]
+    # partition: reserved clusters hold exactly target_cluster_size items
+    for c in range(n_content, spec.n_clusters):
+        assert (ic == c).sum() == spec.target_cluster_size
+    # target events only draw reserved items; lower events only content items
+    level = {b: i for i, b in enumerate(spec.behaviors)}
+    rule_hits = rule_total = 0
+    for u in d1.inters:
+        items = np.asarray(d1.inters[u])
+        lv = np.asarray([level[b] for b in d1.behaviors[u]])
+        sid = np.asarray(d1.sessions[u])
+        assert (ic[items[lv == 2]] >= n_content).all()
+        assert (ic[items[lv < 2]] < n_content).all()
+        majors = d1.latent["majors"][u]
+        for t in np.flatnonzero(lv == 2):
+            s = sid[t]
+            if s == 0 or majors[s - 1] < 0:
+                continue
+            rule_total += 1
+            rule_hits += int(ic[items[t]] == v3["P"][majors[s - 1]])
+    frac = rule_hits / rule_total
+    # rule fires w.p. 0.9; fallback draws can also land on P[m] by luck
+    assert 0.85 < frac < 1.0, f"planted-rule rate {frac:.3f} off target"
