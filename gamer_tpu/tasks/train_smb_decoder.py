@@ -38,6 +38,28 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
+def parse_model_overrides(spec: str | None) -> dict:
+    """'k=v,k2=v2' -> dict with JSON-parsed values ('cross_attention_layers=[]'
+    -> {'cross_attention_layers': []}); unknown keys fail fast."""
+    if not spec:
+        return {}
+    import json
+    import re
+
+    out = {}
+    # split on commas not inside [...] so list values survive
+    for part in re.split(r",(?![^\[]*\])", spec):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in QwenFamilyConfig.field_names():
+            raise ValueError(f"unknown model override {k!r}")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
 def make_model_config(backbone: str, data, base_model: str | None,
                       temperature: float, model_max_length: int,
                       dtype: str = "float32", **overrides) -> QwenFamilyConfig:
@@ -136,6 +158,11 @@ class TrainSMBDecoder(Task):
                             "keep (attn = save attention outputs, re-run the rest)")
         g.add_argument("--wandb_run_name", type=str, default=None,
                        help="run name in the metric stream (ref wandb name)")
+        g.add_argument("--model_overrides", type=str, default=None,
+                       help="comma-separated k=v QwenFamilyConfig overrides "
+                            "(values JSON-parsed), e.g. "
+                            "cross_attention_layers=[] for the mechanism "
+                            "switch ablation; applied after the preset")
         add_ref_compat_args(parser, "deepspeed")
         add_hf_train_args(parser)
         return parser
@@ -147,7 +174,7 @@ class TrainSMBDecoder(Task):
             n_layers=0, hidden_size=0, mesh_ctx=None, attention_impl="auto",
             resume_from_checkpoint=False, save_epochs=0, profile_dir=None,
             wandb_run_name=None, gradient_checkpointing=None,
-            remat_policy="attn", **extra):
+            remat_policy="attn", model_overrides=None, **extra):
         data = load_smb_train(dataset, data_path, max_his_len, index_file, tasks)
         corpus, builder = data.corpus, data.builder
 
@@ -196,6 +223,7 @@ class TrainSMBDecoder(Task):
             overrides["num_hidden_layers"] = n_layers
         if hidden_size:
             overrides["hidden_size"] = hidden_size
+        overrides.update(parse_model_overrides(model_overrides))
         cfg = make_model_config(backbone, data, base_model, temperature,
                                 model_max_length, dtype, **overrides)
         if ctx.n_model > 1:

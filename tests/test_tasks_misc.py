@@ -267,3 +267,27 @@ def test_reference_flag_parity_audit():
         if gone:
             missing[task] = gone
     assert not missing, f"reference flags we no longer accept: {missing}"
+
+
+def test_model_overrides_parse_and_apply():
+    """--model_overrides k=v,... (VERDICT r4 #1b: the cross-attention switch
+    ablation needs a CLI way to zero cross_attention_layers on Qwen3Multi).
+    Values are JSON-parsed; list values with commas survive the split;
+    unknown keys fail fast; overrides land AFTER the preset resolution."""
+    from gamer_tpu.models.generative.qwen_family import build_config
+    from gamer_tpu.tasks.train_smb_decoder import parse_model_overrides
+
+    d = parse_model_overrides(
+        "cross_attention_layers=[],temperature=0.7,self_mask_kind=session")
+    assert d == {"cross_attention_layers": [], "temperature": 0.7,
+                 "self_mask_kind": "session"}
+    assert parse_model_overrides("cross_attention_layers=[2,3]") == {
+        "cross_attention_layers": [2, 3]}
+    assert parse_model_overrides(None) == {}
+    with pytest.raises(ValueError):
+        parse_model_overrides("not_a_config_key=1")
+
+    cfg = build_config("Qwen3Multi", num_hidden_layers=4,
+                       cross_attention_layers=[])
+    assert cfg.cross_attention_layers == []
+    assert cfg.behavior_injection_layers == [0, 1]  # preset half_lo intact
