@@ -17,8 +17,9 @@ OUT = args[0] if args else "/root/repo/runs/quality_r3"
 WRITE = "--write" in sys.argv  # patch docs/benchmarks.md between markers
 # the mini-cpu profile writes into its own marker block so the flagship
 # tables are never overwritten by small-scale numbers
-MARKER = ("quality-mini-results" if os.path.basename(os.path.normpath(OUT))
-          == "quality_mini" else "quality-results")
+_BASE = os.path.basename(os.path.normpath(OUT))
+MARKER = {"quality_mini": "quality-mini-results",
+          "quality_v3": "quality-v3-results"}.get(_BASE, "quality-results")
 KEYS = ["hit@1", "hit@5", "hit@10", "recall@10", "ndcg@10"]
 
 
@@ -92,6 +93,48 @@ def render():
     section("Discriminative zoo (train_SMB_rec, full-sort test)", rows)
 
 
+V3_ARMS = [("rule", "rule floor (repeat history, unique)"),
+           ("qwen3", "Qwen3 (causal-only)"),
+           ("qwen3multi_nocross", "Qwen3Multi, cross-attention OFF"),
+           ("qwen3multi", "**Qwen3Multi (full mechanism)**")]
+
+
+def render_v3():
+    """The flagship-mechanism experiment (VERDICT r4 #1): same budget, same
+    tokenization, on the action-conditional v3 corpus. The `buy` rows are the
+    targets whose cluster is a function of the previous session's cart events
+    — the signal the Qwen3Multi cross mask (action[j] < action[i]) pools."""
+    oracle = None
+    opath = os.path.join(OUT, "oracle_v3.json")
+    if os.path.exists(opath):
+        oracle = json.load(open(opath))
+    if oracle:
+        print(f"Corpus certificate (oracle_check --v3, n={oracle['n_eval']} "
+              f"buy targets): action-AWARE oracle hit@10 "
+              f"{oracle['aware_hit@10']:.3f} vs action-BLIND "
+              f"{oracle['blind_hit@10']:.3f} vs repeat-history "
+              f"{oracle['rule_reserved_hit@10']:.3f} — the aware/blind gap "
+              "is signal only action-level conditioning can use.\n")
+    rows = []
+    for tag, label in V3_ARMS:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            rows.append(row(label, m))
+    section("v3 corpus — merged over behaviors (20-beam trie-constrained)",
+            rows)
+    rows = []
+    for tag, label in V3_ARMS:
+        p = os.path.join(OUT, f"results_{tag}.json")
+        if os.path.exists(p):
+            r = json.load(open(p))
+            pb = r.get("per_behavior", {}).get("buy")
+            if pb:
+                rows.append(row(label, pb))
+    print()
+    section("v3 corpus — `buy` targets only (the action-conditional slice)",
+            rows)
+
+
 DOC = "/root/repo/docs/benchmarks.md"
 
 
@@ -99,7 +142,7 @@ def main(doc: str = DOC):
     buf = io.StringIO()
     stdout, sys.stdout = sys.stdout, buf
     try:
-        render()
+        render_v3() if _BASE == "quality_v3" else render()
     finally:
         sys.stdout = stdout
     text = buf.getvalue()

@@ -40,6 +40,35 @@ import time
 REPO = "/root/repo"
 
 PROFILES = {
+    # VERDICT r4 #1: the flagship-mechanism experiment. v3 action-conditional
+    # corpus (synthetic.py v3 knobs) at the flagship geometry; arms are
+    # Qwen3Multi / Qwen3 / Qwen3Multi with cross-attention switched OFF
+    # (--model_overrides cross_attention_layers=[]), all at the full main
+    # budget on one rq_kmeans tokenization. Measured corpus headroom at this
+    # exact spec (scripts/oracle_check.py --v3 path, seed 7):
+    #   aware 0.710 / blind 0.409 / rule_reserved 0.098 hit@10 (n=20704)
+    # — the aware/blind gap (1.74x) is the action-conditional signal only a
+    # model that conditions on action level can use.
+    "v3-flagship": dict(
+        out="runs/quality_v3", ds="SVADV3", chain="v3",
+        spec=dict(
+            n_users=12000, n_items=8000, n_clusters=64,
+            min_len=20, max_len=120,
+            num_levels=4, level_sizes=(64, 64, 64, 64),
+            behaviors=("click", "cart", "buy"),
+            behavior_freq=(0.55, 0.3, 0.15),
+            session_len=6, min_sessions=4, emb_dim=128,
+            item_pop_alpha=1.0,
+            target_rule_p=0.9, n_target_clusters=24, target_cluster_size=10,
+            session_topic_q=0.9, click_topic_q=0.0, pref_concentration=0.08),
+        main_budget=dict(batch_size=1024, micro_batch_size=64,
+                         max_his_len=100, epochs=18, patience=4,
+                         tasks="smb_explicit_decoder_4"),
+        rqvae_epochs=300, decoder_overrides=[],
+        eval_args=["--test_batch_size", 256, "--num_beams", 20,
+                   "--cache_dtype", "bfloat16"],
+        env={}, throttle_when_tpu_busy=False, tpu=True,
+    ),
     "flagship": dict(
         out="runs/quality_r3", ds="SVADQ",
         spec=dict(
@@ -267,13 +296,12 @@ def write_summary():
     docs/benchmarks.md marker block. Called after EVERY completed arm, not
     just at driver completion, so an interrupted run still leaves its
     evidence committed-able."""
+    import glob as _glob
     summary = {}
-    for tag in ["qwen3multi", "qwen3", "rule", "abl_rqvae", "abl_rqkmeans",
-                "abl_cid", "abl_rid", "abl_noaug", "tiger"]:
-        path = os.path.join(OUT, f"results_{tag}.json")
-        if os.path.exists(path):
-            r = json.load(open(path))
-            summary[tag] = r.get("merged", r)
+    for path in sorted(_glob.glob(os.path.join(OUT, "results_*.json"))):
+        tag = os.path.basename(path)[len("results_"):-len(".json")]
+        r = json.load(open(path))
+        summary[tag] = r.get("merged", r)
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     art = os.path.join(REPO, "artifacts", os.path.basename(OUT))
@@ -290,7 +318,7 @@ def write_summary():
     return summary
 
 
-def train_eval_decoder(tag, backbone, index_file, budget):
+def train_eval_decoder(tag, backbone, index_file, budget, extra_train=()):
     ckpt = os.path.join(OUT, f"ckpt_{tag}")
     argv = [
         "train_SMB_decoder", "--dataset", DS, "--data_path", DATA,
@@ -301,7 +329,7 @@ def train_eval_decoder(tag, backbone, index_file, budget):
         "--batch_size", budget["batch_size"],
         "--micro_batch_size", budget["micro_batch_size"],
         "--warmup_ratio", "0.04", "--seed", SEED,
-        "--output_dir", ckpt] + P["decoder_overrides"]
+        "--output_dir", ckpt] + P["decoder_overrides"] + list(extra_train)
     if "lr" in budget:
         argv += ["--learning_rate", budget["lr"]]
     # interrupted run: pick up from last_state instead of restarting
@@ -318,12 +346,62 @@ def train_eval_decoder(tag, backbone, index_file, budget):
     write_summary()
 
 
+def chain_v3():
+    """The flagship-mechanism experiment (VERDICT r4 #1): one tokenization,
+    rule floor, then Qwen3Multi vs Qwen3 vs Qwen3Multi-without-cross-attention
+    at the full main budget on the action-conditional v3 corpus."""
+    # corpus headroom certificate (cheap, CPU): written next to the results so
+    # the report can state the oracle bounds the arms are compared against
+    marker = os.path.join(OUT, ".done.oracle_v3")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from oracle_check import headroom_v3
+
+        from gamer_tpu.data.synthetic import SyntheticSpec
+
+        r = headroom_v3(SyntheticSpec(seed=SEED, **P["spec"]))
+        with open(os.path.join(OUT, "oracle_v3.json"), "w") as f:
+            json.dump(r, f, indent=2)
+        open(marker, "w").write(str(time.time()))
+        log(f"oracle_v3: {r}")
+
+    run_stage("sememb", ["SemEmb", "--dataset", DS, "--data_path", DATA,
+                         "--plm_name", "hash", "--emb_dim", 128,
+                         "--seed", SEED])
+    emb = os.path.join(DATA, DS, f"{DS}.emb-hash-td.npy")
+    run_stage("tokenize_rqkmeans", ["tokenize", "--mode", "rq_kmeans",
+                                    "--dataset", DS, "--data_path", DATA,
+                                    "--emb_file", emb,
+                                    "--num_code_list", "64,64,64,64",
+                                    "--seed", SEED], timeout_s=3600)
+    idx = ".index.rq-kmeans.json"
+    run_stage("rule_floor", [
+        "test_SMB_rule", "--dataset", DS, "--data_path", DATA,
+        "--index_file", idx,
+        "--max_his_len", P["main_budget"]["max_his_len"],
+        "--test_task", "smb_explicit", "--unique",
+        "--results_file", os.path.join(OUT, "results_rule.json")])
+    write_summary()
+    train_eval_decoder("qwen3multi", "Qwen3Multi", idx, P["main_budget"])
+    train_eval_decoder("qwen3", "Qwen3", idx, P["main_budget"])
+    train_eval_decoder("qwen3multi_nocross", "Qwen3Multi", idx,
+                       P["main_budget"],
+                       extra_train=["--model_overrides",
+                                    "cross_attention_layers=[]"])
+    summary = write_summary()
+    log("v3 mechanism run complete")
+    log(json.dumps(summary, indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", choices=sorted(PROFILES), default="flagship")
     _select(ap.parse_args().profile)
     os.makedirs(LOGS, exist_ok=True)
     gen_corpus()
+    if P.get("chain") == "v3":
+        chain_v3()
+        return
 
     # ---- tokenizer chain ---------------------------------------------------
     run_stage("sememb", ["SemEmb", "--dataset", DS, "--data_path", DATA,
