@@ -82,6 +82,33 @@ def render():
     section("Generative-augmentation ablation (equal short budget)", rows)
 
     rows = []
+    for tag, label in [("pbat_encdec", "PBATransformer (enc-dec MoE, own budget)"),
+                       ("zoo_qwen3session", "Qwen3Session"),
+                       ("zoo_qwen3moe", "Qwen3Moe"),
+                       ("zoo_qwen3moeaction", "Qwen3MoeAction"),
+                       ("zoo_qwen3sessionmoe", "Qwen3SessionMoe"),
+                       ("zoo_qwen3sessionmulti", "Qwen3SessionMulti")]:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            rows.append(row(label, m))
+    if rows:
+        print()
+        section("Decoder-preset quality rows (round 5, main mini budget)", rows)
+
+    rows = []
+    for tag, label in [("abl_q3_rid", "random IDs (rid)"),
+                       ("abl_q3_cid", "chunked IDs (cid)"),
+                       ("abl_q3_rqkmeans", "RQ-KMeans"),
+                       ("abl_q3_rqvae", "RQ-VAE")]:
+        m = merged(os.path.join(OUT, f"results_{tag}.json"))
+        if m:
+            rows.append(row(label, m))
+    if rows:
+        print()
+        section("Tokenizer ablation on plain Qwen3 (round 5, equal short "
+                "budget — de-confounds the Multi machinery)", rows)
+
+    rows = []
     for path in sorted(glob.glob(os.path.join(OUT, "rec_*", "SVAD*_*.json"))):
         name = os.path.basename(path).split("_", 1)[1].replace(".json", "")
         r = json.load(open(path))  # behavior -> {metric: v, count: n}
@@ -148,11 +175,16 @@ def main(doc: str = DOC):
     text = buf.getvalue()
     print(text)
     if WRITE:
+        # two quality drivers (TPU flagship + CPU mini) may render
+        # concurrently; serialize the read-modify-write on the shared doc
+        import fcntl
         b, e = f"<!-- {MARKER}:begin -->", f"<!-- {MARKER}:end -->"
-        src = open(doc).read()
-        head, rest = src.split(b, 1)
-        _, tail = rest.split(e, 1)
-        open(doc, "w").write(head + b + "\n" + text + e + tail)
+        with open(doc + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            src = open(doc).read()
+            head, rest = src.split(b, 1)
+            _, tail = rest.split(e, 1)
+            open(doc, "w").write(head + b + "\n" + text + e + tail)
         print(f"[written into {doc}]")
 
 

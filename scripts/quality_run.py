@@ -139,6 +139,13 @@ PROFILES = {
     ),
 }
 
+# VERDICT r4 #3/#4/#7: the round-5 mini-scale additions — PBATransformer
+# end-to-end arm, quality rows for the 5 never-trained decoder presets, and
+# the tokenizer ablation re-run on plain Qwen3 (de-confounding the Multi
+# machinery). Same corpus/tokenizers as mini-cpu (deterministic regen), so
+# rows compose with the restored round-3/4 mini table.
+PROFILES["mini-extras"] = dict(PROFILES["mini-cpu"], chain="mini-extras")
+
 P = PROFILES["flagship"]
 OUT = DATA = LOGS = DS = None
 SEED = 7
@@ -393,6 +400,63 @@ def chain_v3():
     log(json.dumps(summary, indent=2))
 
 
+def chain_mini_extras():
+    """Round-5 mini additions on the existing mini corpus/tokenizers:
+    PBATransformer end-to-end (VERDICT r4 #3), the 5 decoder presets that
+    only ever had insurance short-trains (#4), and the tokenizer ablation on
+    plain Qwen3 (#7). Prereq stages regenerate deterministically after the
+    machine reset; previously-evidenced arms are restored from artifacts/ by
+    the launcher and skipped via their results files."""
+    run_stage("sememb", ["SemEmb", "--dataset", DS, "--data_path", DATA,
+                         "--plm_name", "hash", "--emb_dim", 128,
+                         "--seed", SEED])
+    emb = os.path.join(DATA, DS, f"{DS}.emb-hash-td.npy")
+    rqvae_dir = os.path.join(OUT, "rqvae")
+    run_stage("rqvae", ["RQVAE", "--dataset", DS, "--data_path", DATA,
+                        "--emb_file", emb, "--output_dir", rqvae_dir,
+                        "--epochs", P["rqvae_epochs"], "--batch_size", 1024,
+                        "--num_emb", 64, "--num_levels", 4, "--e_dim", 32,
+                        "--layers", "256,128,64", "--kmeans_init",
+                        "--seed", SEED], timeout_s=3 * 3600)
+    run_stage("tokenize_rqvae", ["tokenize", "--mode", "rq_vae",
+                                 "--dataset", DS, "--data_path", DATA,
+                                 "--ckpt_path", rqvae_dir,
+                                 "--ckpt_tag", "best_collision",
+                                 "--epoch", P["rqvae_epochs"],
+                                 "--emb_file", emb, "--seed", SEED])
+    # the enc-dec MoE seq2seq (PBAT was exactly where TIGER's dead-crossattn
+    # class of bug hid for 3 rounds — this is the missing end-to-end proof)
+    train_eval_decoder("pbat_encdec", "PBATransformer", INDEX_RQVAE,
+                       P["tiger_budget"])
+    # quality rows (not just insurance) for the remaining zoo presets
+    for backbone in ["Qwen3Session", "Qwen3Moe", "Qwen3MoeAction",
+                     "Qwen3SessionMoe", "Qwen3SessionMulti"]:
+        train_eval_decoder(f"zoo_{backbone.lower()}", backbone, INDEX_RQVAE,
+                           P["main_budget"])
+    # tokenizer ablation without the Multi machinery (same short budget as
+    # the round-3 Qwen3Multi ablation — rows compare within this table)
+    run_stage("tokenize_rid", ["tokenize", "--mode", "rid", "--dataset", DS,
+                               "--data_path", DATA, "--seed", SEED])
+    run_stage("tokenize_rqkmeans", ["tokenize", "--mode", "rq_kmeans",
+                                    "--dataset", DS, "--data_path", DATA,
+                                    "--emb_file", emb,
+                                    "--num_code_list", "64,64,64,64",
+                                    "--seed", SEED], timeout_s=3600)
+    run_stage("tokenize_cid", ["tokenize", "--mode", "cid", "--dataset", DS,
+                               "--data_path", DATA, "--chunk_size", 64,
+                               "--seed", SEED])
+    train_eval_decoder("abl_q3_rqvae", "Qwen3", INDEX_RQVAE, P["abl_budget"])
+    train_eval_decoder("abl_q3_rid", "Qwen3", ".index.rid.json",
+                       P["abl_budget"])
+    train_eval_decoder("abl_q3_rqkmeans", "Qwen3", ".index.rq-kmeans.json",
+                       P["abl_budget"])
+    train_eval_decoder("abl_q3_cid", "Qwen3", ".index.cid.chunk64.json",
+                       P["abl_budget"])
+    summary = write_summary()
+    log("mini-extras complete")
+    log(json.dumps(summary, indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", choices=sorted(PROFILES), default="flagship")
@@ -401,6 +465,9 @@ def main():
     gen_corpus()
     if P.get("chain") == "v3":
         chain_v3()
+        return
+    if P.get("chain") == "mini-extras":
+        chain_mini_extras()
         return
 
     # ---- tokenizer chain ---------------------------------------------------
