@@ -77,6 +77,11 @@ class QwenFamilyConfig(Config):
     model_max_length: int = 1024
     dtype: str = "float32"
     attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (train path)
+    # fused MoE-FFN kernel on the periodic train path (ops/pallas_moe.py):
+    # "auto" = pallas on TPU, jnp elsewhere; decode/onehot paths unaffected.
+    # Default "jnp" until the on-chip A/B (round 5) ratifies the kernel as
+    # the shipped train path; bench/recipes opt in explicitly.
+    moe_impl: str = "jnp"
     # embed-table row count, >= vocab_size (0 = vocab_size). Padded so the
     # vocab table row-shards evenly on the mesh model axis and tiles the MXU
     # lane dim; padded rows are never looked up and never produce logits.
@@ -302,6 +307,7 @@ class QwenFamilyModel(nn.Module):
             behavior_dim=cfg.behavior_embedding_dim,
             dropout_rate=cfg.dropout_rate,
             dtype=dtype,
+            impl=cfg.moe_impl,
             name=f"layers_{i}/mlp",
         )(h, position_index, behavior_index,
           expert_index=expert_index if cfg.moe_action else None,

@@ -53,6 +53,10 @@ class PositionRoutedMLP(nn.Module):
     # routed experts emit d_model//2, a shared expert emits the other half.
     shared_expert: bool = False
     dtype: Any = jnp.float32
+    # "auto" | "jnp" | "pallas" | "pallas_interpret": the fused Pallas FFN
+    # kernel (ops/pallas_moe.py) on the periodic qwen3 path; auto = pallas on
+    # TPU. Falls back to jnp whenever the kernel's preconditions don't hold.
+    impl: str = "jnp"
 
     @property
     def d_out(self) -> int:
@@ -97,6 +101,53 @@ class PositionRoutedMLP(nn.Module):
         h = BitDropout(self.dropout_rate)(h, deterministic=deterministic)
         return h @ w["wo"]
 
+    def _fused_periodic(self, x, params, emb_mod, behavior_index,
+                        num_positions, deterministic):
+        """Periodic path through the fused Pallas FFN kernel
+        (ops/pallas_moe.py): whole SwiGLU + dropout + down-proj per
+        (expert, row-tile) in VMEM. Behavior injection becomes the exactly-
+        equivalent per-behavior bias table (concat(x, e_b) @ [Wx; Wb] ==
+        x @ Wx + e_b @ Wb)."""
+        from gamer_tpu.ops.pallas_moe import TM, fused_moe_ffn
+
+        P = num_positions
+        assert P is not None and x.shape[1] % P == 0
+        b, s, d = x.shape
+        n = s // P
+        # expert-major rows: token (p, b, n) -> row p*T + (b*n + n)
+        xp = x.reshape(b, n, P, d).transpose(2, 0, 1, 3).reshape(P, b * n, d)
+        T = b * n
+        Tp = -(-T // TM) * TM
+        if Tp != T:
+            xp = jnp.pad(xp, ((0, 0), (0, Tp - T), (0, 0)))
+
+        gate, up, down = (params[k][1:P + 1] for k in ("gate", "up", "down"))
+        wgu = jnp.concatenate([gate[:, :d], up[:, :d]], axis=-1)
+        if self.behavior_injection:
+            table = emb_mod(jnp.arange(self.num_behavior + 1))  # [NB+1, bdim]
+            wb = jnp.concatenate([gate[:, d:], up[:, d:]], axis=-1)
+            btab = jnp.einsum("ae,pef->paf", table.astype(wb.dtype), wb)
+            beh = behavior_index.reshape(b, n, P).transpose(2, 0, 1)
+            beh = beh.reshape(P, T).astype(jnp.int32)
+            if Tp != T:
+                beh = jnp.pad(beh, ((0, 0), (0, Tp - T)))
+            beh = beh.reshape(P, Tp // TM, TM)
+        else:
+            btab = jnp.zeros((P, 1, wgu.shape[-1]), wgu.dtype)
+            beh = jnp.zeros((P, Tp // TM, TM), jnp.int32)
+
+        rate = 0.0 if deterministic else self.dropout_rate
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            seed = jnp.int32(0)
+        out = fused_moe_ffn(xp, wgu, down, btab, beh, seed,
+                            self.hidden_act, rate, self.behavior_injection,
+                            self.impl == "pallas_interpret")
+        out = out[:, :T].reshape(P, b, n, self.d_out)
+        return out.transpose(1, 2, 0, 3).reshape(b, s, self.d_out)
+
     @nn.compact
     def __call__(
         self,
@@ -112,10 +163,29 @@ class PositionRoutedMLP(nn.Module):
         # expert einsums hit the MXU at bf16 rate instead of promoting to fp32.
         params = {k: v.astype(self.dtype) for k, v in self._expert_params().items()}
         x = x.astype(self.dtype)
+        emb_mod = None
         if self.behavior_injection:
             assert behavior_index is not None
-            bemb = nn.Embed(self.num_behavior + 1, self.behavior_dim,
-                            dtype=self.dtype, name="behavior_embedding")(behavior_index)
+            emb_mod = nn.Embed(self.num_behavior + 1, self.behavior_dim,
+                               dtype=self.dtype, name="behavior_embedding")
+
+        use_fused = (
+            self.is_sparse and self.mlp_type == "qwen3"
+            and route_mode == "periodic" and expert_index is None
+            and not self.shared_expert
+            and self.d_model % 128 == 0 and self.d_ff % 128 == 0
+            and self.d_out % 128 == 0
+            and (self.impl == "pallas_interpret"
+                 or (self.impl in ("auto", "pallas")
+                     and jax.default_backend() == "tpu"))
+        )
+        if use_fused:
+            return self._fused_periodic(
+                x, params, emb_mod, behavior_index, num_positions,
+                deterministic).astype(x.dtype)
+
+        if self.behavior_injection:
+            bemb = emb_mod(behavior_index)
             x_in = jnp.concatenate([x, bemb.astype(x.dtype)], axis=-1)
         else:
             x_in = x
