@@ -81,7 +81,7 @@ def _probe_device(timeout_s: float = 240.0):
 # capture with this workload); drift > 1.0 means this session's chip+tunnel
 # is slower than that recording. (A first matmul-chain version was compute-
 # bound and finished in ~0.1 ms — unmeasurable through tunnel noise.)
-NORM_BASELINE_MS = None
+NORM_BASELINE_MS = 0.827  # BENCH_r04 norm_workload_ms
 
 
 def _norm_workload_ms():
