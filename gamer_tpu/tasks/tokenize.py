@@ -178,6 +178,11 @@ class Tokenize(Task):
             centers, labels = np.asarray(centers), np.asarray(labels)
             codes[:, level] = labels
             R = R - centers[labels]
+            # progress per level: the first level's jit compile can take many
+            # minutes through the axon tunnel, and the quality driver kills a
+            # stage on log SILENCE (stall detection) — keep the log alive
+            logger.info("rq_kmeans level %d/%d done (k=%d)",
+                        level + 1, len(num_code_list), k)
         self._rq_kmeans_state = (R, centers)
 
         def last_dists(idx):

@@ -68,6 +68,9 @@ PROFILES = {
         eval_args=["--test_batch_size", 256, "--num_beams", 20,
                    "--cache_dtype", "bfloat16"],
         env={}, throttle_when_tpu_busy=False, tpu=True,
+        # the rq_kmeans jit compile alone can exceed the default 30-min
+        # silence window through the tunnel (observed round 5)
+        stall_s=3600,
     ),
     "flagship": dict(
         out="runs/quality_r3", ds="SVADQ",
@@ -380,7 +383,7 @@ def chain_v3():
                                     "--dataset", DS, "--data_path", DATA,
                                     "--emb_file", emb,
                                     "--num_code_list", "64,64,64,64",
-                                    "--seed", SEED], timeout_s=3600)
+                                    "--seed", SEED], timeout_s=2 * 3600)
     idx = ".index.rq-kmeans.json"
     run_stage("rule_floor", [
         "test_SMB_rule", "--dataset", DS, "--data_path", DATA,
