@@ -39,6 +39,12 @@ def build(variant, remat=False, remat_policy="attn"):
                       remat_policy=remat_policy)
     if variant == "no_moe":
         cfg = cfg.replace(sparse_layers=[])
+    if variant == "moe_pallas":
+        # fused MoE-FFN kernel (round 5): NOTE XLA's cost analysis cannot see
+        # inside pallas_call, so compare this arm's bytes against "full" minus
+        # the kernel's true traffic (x + out + weights per layer) — the DELTA
+        # vs "full" is the HBM bytes the fusion removed from XLA's graph
+        cfg = cfg.replace(moe_impl="pallas")
     if variant == "no_attndrop":
         cfg = cfg.replace(attention_dropout=0.0)
     if variant == "drop0":
@@ -87,6 +93,7 @@ def main():
         ("full", dict(variant="full")),
         ("no_head", dict(variant="no_head")),
         ("no_moe", dict(variant="no_moe")),
+        ("moe_pallas", dict(variant="moe_pallas")),
         ("no_attndrop", dict(variant="no_attndrop")),
         ("drop0", dict(variant="drop0")),
         ("remat_attn", dict(variant="full", remat=True, remat_policy="attn")),
