@@ -55,17 +55,18 @@ _ACTS = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
          "gelu_new": jax.nn.gelu}
 
 
-def _onehot(beh_vec, nb, dtype):
-    # beh_vec [TM] int32 -> [TM, NB]; padded/unknown ids (>= NB) hit no row
-    ids = jax.lax.broadcasted_iota(jnp.int32, (beh_vec.shape[0], nb), 1)
-    return (beh_vec[:, None] == ids).astype(dtype)
-
-
 def _gu_tile(x, wgu, beh_ref, btab_ref, use_bias):
+    # Bias rows are added by select/broadcast rather than a [TM, NB] one-hot
+    # matmul: NB (~4) is far below the 128-lane tile minimum and Mosaic
+    # support for K=4 contractions is not worth gambling an unattended rail
+    # on. NB fused multiply-adds of a full-width [TM, 2F] tile are cheap VPU
+    # work next to the two MXU matmuls.
     gu = jnp.dot(x, wgu, preferred_element_type=jnp.float32)
     if use_bias:
-        oh = _onehot(beh_ref[0, 0], btab_ref.shape[1], x.dtype)
-        gu = gu + jnp.dot(oh, btab_ref[0], preferred_element_type=jnp.float32)
+        beh = beh_ref[0, 0][:, None]  # [TM, 1] int32
+        for a in range(btab_ref.shape[1]):
+            gu = gu + jnp.where(beh == a, btab_ref[0, a][None, :].astype(
+                jnp.float32), 0.0)
     return gu
 
 
@@ -121,9 +122,12 @@ def _bwd_kernel(seed_ref, beh_ref, x_ref, wgu_ref, wd_ref, btab_ref, g_ref,
                                (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     if use_bias:
-        oh = _onehot(beh_ref[0, 0], btab_ref.shape[1], x.dtype)
-        c_bt = jax.lax.dot_general(oh, dgu_c, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        # per-behavior masked row-sums of dgu (full-width [TM, 2F] reduces;
+        # see the lane-width note in _gu_tile), stacked to [NB, 2F]
+        beh = beh_ref[0, 0][:, None]
+        c_bt = jnp.concatenate(
+            [jnp.sum(jnp.where(beh == a, dgu, 0.0), axis=0, keepdims=True)
+             for a in range(btab_ref.shape[1])], axis=0)
 
     @pl.when(i == 0)
     def _init():
