@@ -26,6 +26,7 @@ run() { # run <name> <timeout_s> <cmd...>
 run moe_ab 5400 python scripts/bench_moe_ab.py
 run hbm 3600 python scripts/hbm_inventory.py
 run decode 3600 python scripts/bench_decode.py --batch 128 --beams 20
+run decode_bf16 3600 python scripts/bench_decode.py --batch 128 --beams 20 --cache_dtype bfloat16
 run bench 3600 python bench.py
 cp "$OUT"/*.log "$ART/" 2>/dev/null
 echo "[$(date -u +%H:%M:%S)] rail done" | tee -a "$OUT/rail.log"
