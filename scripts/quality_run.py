@@ -328,7 +328,8 @@ def write_summary():
     return summary
 
 
-def train_eval_decoder(tag, backbone, index_file, budget, extra_train=()):
+def train_eval_decoder(tag, backbone, index_file, budget, extra_train=(),
+                       train_timeout_s=6 * 3600):
     ckpt = os.path.join(OUT, f"ckpt_{tag}")
     argv = [
         "train_SMB_decoder", "--dataset", DS, "--data_path", DATA,
@@ -345,7 +346,7 @@ def train_eval_decoder(tag, backbone, index_file, budget, extra_train=()):
     # interrupted run: pick up from last_state instead of restarting
     if os.path.exists(os.path.join(ckpt, "last_state")):
         argv.append("--resume_from_checkpoint")
-    run_stage(f"train_{tag}", argv, timeout_s=6 * 3600)
+    run_stage(f"train_{tag}", argv, timeout_s=train_timeout_s)
     run_stage(f"eval_{tag}", [
         "test_SMB_decoder", "--dataset", DS, "--data_path", DATA,
         "--index_file", index_file, "--max_his_len", budget["max_his_len"],
@@ -427,11 +428,10 @@ def chain_mini_extras():
                                  "--ckpt_tag", "best_collision",
                                  "--epoch", P["rqvae_epochs"],
                                  "--emb_file", emb, "--seed", SEED])
-    # the enc-dec MoE seq2seq (PBAT was exactly where TIGER's dead-crossattn
-    # class of bug hid for 3 rounds — this is the missing end-to-end proof)
-    train_eval_decoder("pbat_encdec", "PBATransformer", INDEX_RQVAE,
-                       P["tiger_budget"])
-    # quality rows (not just insurance) for the remaining zoo presets
+    # quality rows (not just insurance) for the remaining zoo presets.
+    # Ordered BEFORE the enc-dec arm: PBAT at ~15 min/epoch on one throttled
+    # core cannot finish 40 epochs inside a 6h stage window (measured round
+    # 5); it runs LAST with a session-length timeout and last_state resume.
     for backbone in ["Qwen3Session", "Qwen3Moe", "Qwen3MoeAction",
                      "Qwen3SessionMoe", "Qwen3SessionMulti"]:
         train_eval_decoder(f"zoo_{backbone.lower()}", backbone, INDEX_RQVAE,
@@ -455,6 +455,11 @@ def chain_mini_extras():
                        P["abl_budget"])
     train_eval_decoder("abl_q3_cid", "Qwen3", ".index.cid.chunk64.json",
                        P["abl_budget"])
+    # the enc-dec MoE seq2seq (PBAT was exactly where TIGER's dead-crossattn
+    # class of bug hid for 3 rounds — this is the missing end-to-end proof).
+    # Long budget + resume: early-stop (patience 8) or session end decides.
+    train_eval_decoder("pbat_encdec", "PBATransformer", INDEX_RQVAE,
+                       P["tiger_budget"], train_timeout_s=12 * 3600)
     summary = write_summary()
     log("mini-extras complete")
     log(json.dumps(summary, indent=2))
