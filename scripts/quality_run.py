@@ -215,8 +215,8 @@ def _run_once(name, argv, logf, timeout_s):
     cmd = [sys.executable, "main.py"] + [str(a) for a in argv]
     env = dict(os.environ, **{k: str(v) for k, v in P["env"].items()})
     if P["throttle_when_tpu_busy"] and _tpu_run_active():
-        log(f"stage {name}: TPU pipeline active — throttling to core 3, nice 19")
-        cmd = ["taskset", "-c", "3", "nice", "-n", "19"] + cmd
+        log(f"stage {name}: TPU pipeline active — throttling to cores 2-3, nice 19")
+        cmd = ["taskset", "-c", "2,3", "nice", "-n", "19"] + cmd
     with open(logf, "a") as f:
         p = subprocess.Popen(cmd, cwd=REPO, stdout=f, env=env,
                              stderr=subprocess.STDOUT)
@@ -233,7 +233,7 @@ def _run_once(name, argv, logf, timeout_s):
             # TPU pipeline appeared mid-stage: confine the live child to one
             # core (TPU jobs are host-bound between dispatches, CLAUDE.md)
             log(f"stage {name}: TPU pipeline appeared — throttling pid {p.pid}")
-            subprocess.run(["taskset", "-a", "-cp", "3", str(p.pid)],
+            subprocess.run(["taskset", "-a", "-cp", "2,3", str(p.pid)],
                            capture_output=True)
             subprocess.run(["renice", "-n", "19", "-p", str(p.pid)],
                            capture_output=True)
@@ -428,10 +428,15 @@ def chain_mini_extras():
                                  "--ckpt_tag", "best_collision",
                                  "--epoch", P["rqvae_epochs"],
                                  "--emb_file", emb, "--seed", SEED])
-    # quality rows (not just insurance) for the remaining zoo presets.
-    # Ordered BEFORE the enc-dec arm: PBAT at ~15 min/epoch on one throttled
-    # core cannot finish 40 epochs inside a 6h stage window (measured round
-    # 5); it runs LAST with a session-length timeout and last_state resume.
+    # the enc-dec MoE seq2seq (PBAT was exactly where TIGER's dead-crossattn
+    # class of bug hid for 3 rounds — this is the missing end-to-end proof).
+    # 32-epoch cap: at the measured mini epoch cost the full 40-epoch TIGER
+    # budget cannot land an eval row inside the session; patience 8 may stop
+    # it sooner anyway. Resumes from last_state across driver restarts.
+    train_eval_decoder("pbat_encdec", "PBATransformer", INDEX_RQVAE,
+                       dict(P["tiger_budget"], epochs=32),
+                       train_timeout_s=12 * 3600)
+    # quality rows (not just insurance) for the remaining zoo presets
     for backbone in ["Qwen3Session", "Qwen3Moe", "Qwen3MoeAction",
                      "Qwen3SessionMoe", "Qwen3SessionMulti"]:
         train_eval_decoder(f"zoo_{backbone.lower()}", backbone, INDEX_RQVAE,
@@ -455,11 +460,6 @@ def chain_mini_extras():
                        P["abl_budget"])
     train_eval_decoder("abl_q3_cid", "Qwen3", ".index.cid.chunk64.json",
                        P["abl_budget"])
-    # the enc-dec MoE seq2seq (PBAT was exactly where TIGER's dead-crossattn
-    # class of bug hid for 3 rounds — this is the missing end-to-end proof).
-    # Long budget + resume: early-stop (patience 8) or session end decides.
-    train_eval_decoder("pbat_encdec", "PBATransformer", INDEX_RQVAE,
-                       P["tiger_budget"], train_timeout_s=12 * 3600)
     summary = write_summary()
     log("mini-extras complete")
     log(json.dumps(summary, indent=2))
