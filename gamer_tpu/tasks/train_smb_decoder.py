@@ -212,7 +212,8 @@ class TrainSMBDecoder(Task):
                 loop_kwargs=hf["loop_kwargs"],
                 learning_rate=learning_rate, weight_decay=weight_decay,
                 warmup_ratio=warmup_ratio, temperature=temperature,
-                patience=patience, n_layers=n_layers, hidden_size=hidden_size)
+                patience=patience, n_layers=n_layers, hidden_size=hidden_size,
+                resume=resume_from_checkpoint)
 
         ctx = mesh_ctx or MeshContext()
         overrides = {"attention_impl": attention_impl}
@@ -329,7 +330,7 @@ class TrainSMBDecoder(Task):
     def _run_encdec(self, *, data, backbone, base_model, output_dir, seed,
                     epochs, batch_size, learning_rate, weight_decay,
                     warmup_ratio, temperature, patience, n_layers, hidden_size,
-                    accum=1, optim="adamw", loop_kwargs=None):
+                    accum=1, optim="adamw", loop_kwargs=None, resume=False):
         """TIGER/PBATransformer on SMB data (seq2seq: history -> target block)."""
         import jax
 
@@ -374,6 +375,12 @@ class TrainSMBDecoder(Task):
                                         len(data.train), batch_size, accum, epochs)),
             loop_cfg=TrainLoopConfig(epochs=epochs, patience=patience, seed=seed,
                                      gradient_accumulation_steps=accum,
+                                     # --resume_from_checkpoint was silently
+                                     # dropped on this branch until round 5
+                                     # (the decoder branch passed it; PBAT's
+                                     # interrupted round-5 arm restarted at
+                                     # epoch 0)
+                                     resume=resume,
                                      **(loop_kwargs or {})),
             mesh_ctx=MeshContext(), output_dir=output_dir,
             metric_writer=MetricWriter(os.path.join("runs", self.name),

@@ -203,3 +203,32 @@ def test_encdec_learns_to_condition_on_encoder(backbone):
     # unconditional entropy of the content token is log(16) = 2.77;
     # EOS is free, so an unconditional model plateaus at ~1.39
     assert float(loss) < 0.7, f"cross-attention failed to learn: CE {float(loss):.3f}"
+
+
+def test_smb_encdec_resume_from_checkpoint(tmp_path):
+    """--resume_from_checkpoint on the SMB enc-dec branch (train_SMB_decoder
+    --backbone TIGER/PBATransformer) must restore epoch/step/params — it was
+    silently dropped there until round 5 (the interrupted mini PBAT arm
+    restarted at epoch 0 with best=inf)."""
+    from gamer_tpu.data.synthetic import SyntheticSpec, write_synthetic_dataset
+    from main import main
+
+    write_synthetic_dataset(str(tmp_path / "data"), "Demo", SyntheticSpec(
+        n_users=24, n_items=40, n_clusters=8, num_levels=2,
+        level_sizes=(6, 8), min_len=8, max_len=16, session_len=4,
+        min_sessions=2, seed=3))
+    main(["tokenize", "--mode", "rid", "--dataset", "Demo", "--data_path",
+          str(tmp_path / "data"), "--seed", "7"])
+    argv = ["train_SMB_decoder", "--dataset", "Demo", "--data_path",
+            str(tmp_path / "data"), "--tasks", "smb_explicit_decoder",
+            "--backbone", "TIGER", "--index_file", ".index.rid.json",
+            "--max_his_len", "6", "--batch_size", "8",
+            "--micro_batch_size", "8", "--model_max_length", "128",
+            "--n_layers", "1", "--hidden_size", "32", "--seed", "7",
+            "--output_dir", str(tmp_path / "ckpt")]
+    r1 = main(argv + ["--epochs", "1"])
+    assert r1["history"][-1]["epoch"] == 0
+    r2 = main(argv + ["--epochs", "2", "--resume_from_checkpoint"])
+    # resumed run continues at epoch 1, carrying the step counter forward
+    assert r2["history"][0]["epoch"] == 1
+    assert r2["history"][0]["step"] > r1["history"][-1]["step"]
