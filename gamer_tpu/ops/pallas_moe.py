@@ -55,7 +55,7 @@ _ACTS = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
          "gelu_new": jax.nn.gelu}
 
 
-def _gu_tile(x, wgu, beh_ref, btab_ref, use_bias):
+def _gu_tile(x, wgu, beh_ref, btab_ref, use_bias, i):
     # Bias rows are added by select/broadcast rather than a [TM, NB] one-hot
     # matmul: NB (~4) is far below the 128-lane tile minimum and Mosaic
     # support for K=4 contractions is not worth gambling an unattended rail
@@ -63,7 +63,7 @@ def _gu_tile(x, wgu, beh_ref, btab_ref, use_bias):
     # work next to the two MXU matmuls.
     gu = jnp.dot(x, wgu, preferred_element_type=jnp.float32)
     if use_bias:
-        beh = beh_ref[0, 0][:, None]  # [TM, 1] int32
+        beh = beh_ref[0, i][:, None]  # [TM, 1] int32
         for a in range(btab_ref.shape[1]):
             gu = gu + jnp.where(beh == a, btab_ref[0, a][None, :].astype(
                 jnp.float32), 0.0)
@@ -75,7 +75,7 @@ def _fwd_kernel(seed_ref, beh_ref, x_ref, wgu_ref, wd_ref, btab_ref, out_ref,
     p = pl.program_id(0)
     i = pl.program_id(1)
     x = x_ref[0]
-    gu = _gu_tile(x, wgu_ref[0], beh_ref, btab_ref, use_bias)
+    gu = _gu_tile(x, wgu_ref[0], beh_ref, btab_ref, use_bias, i)
     h = _ACTS[act_name](gu[:, :F]) * gu[:, F:]
     if rate > 0.0:
         keep = dropout_keep_tile(seed_ref[0], p, i * TM, 0, (TM, F), rate)
@@ -93,7 +93,7 @@ def _bwd_kernel(seed_ref, beh_ref, x_ref, wgu_ref, wd_ref, btab_ref, g_ref,
     x = x_ref[0]
     wgu = wgu_ref[0]
     gout = g_ref[0]
-    gu = _gu_tile(x, wgu, beh_ref, btab_ref, use_bias)
+    gu = _gu_tile(x, wgu, beh_ref, btab_ref, use_bias, i)
     g_, u = gu[:, :F], gu[:, F:]
     act = _ACTS[act_name]
     a, act_vjp = jax.vjp(act, g_)
@@ -124,7 +124,7 @@ def _bwd_kernel(seed_ref, beh_ref, x_ref, wgu_ref, wd_ref, btab_ref, g_ref,
     if use_bias:
         # per-behavior masked row-sums of dgu (full-width [TM, 2F] reduces;
         # see the lane-width note in _gu_tile), stacked to [NB, 2F]
-        beh = beh_ref[0, 0][:, None]
+        beh = beh_ref[0, i][:, None]
         c_bt = jnp.concatenate(
             [jnp.sum(jnp.where(beh == a, dgu, 0.0), axis=0, keepdims=True)
              for a in range(btab_ref.shape[1])], axis=0)
@@ -151,7 +151,10 @@ def _specs(P, T, D, F2, F, Dout, NB):
     per_p = lambda a, b: pl.BlockSpec((1, a, b), lambda p, i: (p, 0, 0))
     return dict(
         seed=pl.BlockSpec(memory_space=pltpu.SMEM),
-        beh=pl.BlockSpec((1, 1, TM), lambda p, i: (p, i, 0)),
+        # full [nT, TM] id plane per expert (tiny); a (1, 1, TM) row block
+        # violates Mosaic's sublane rule (last-two block dims must divide
+        # (8, 128) or equal the array dims) — the kernel row-slices instead
+        beh=pl.BlockSpec((1, T // TM, TM), lambda p, i: (p, 0, 0)),
         x=row(D), wgu=per_p(D, F2), wd=per_p(F, Dout), btab=per_p(NB, F2),
         out=row(Dout),
         dwgu=per_p(D, F2), dwd=per_p(F, Dout), dbtab=per_p(NB, F2),
