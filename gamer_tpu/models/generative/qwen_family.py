@@ -78,10 +78,11 @@ class QwenFamilyConfig(Config):
     dtype: str = "float32"
     attention_impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (train path)
     # fused MoE-FFN kernel on the periodic train path (ops/pallas_moe.py):
-    # "auto" = pallas on TPU, jnp elsewhere; decode/onehot paths unaffected.
-    # Default "jnp" until the on-chip A/B (round 5) ratifies the kernel as
-    # the shipped train path; bench/recipes opt in explicitly.
-    moe_impl: str = "jnp"
+    # "auto" = pallas on TPU, jnp elsewhere; decode/onehot paths and
+    # model-parallel meshes (no pallas partitioning rule) fall back to jnp.
+    # Ratified as the shipped default by the round-5 on-chip sandwich A/B:
+    # 1019 vs 940 seq/s/chip (+8.4%), scripts/bench_moe_ab.py.
+    moe_impl: str = "auto"
     # embed-table row count, >= vocab_size (0 = vocab_size). Padded so the
     # vocab table row-shards evenly on the mesh model axis and tiles the MXU
     # lane dim; padded rows are never looked up and never produce logits.

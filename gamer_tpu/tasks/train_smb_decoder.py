@@ -234,6 +234,12 @@ class TrainSMBDecoder(Task):
 
             cfg = cfg.replace(padded_vocab_size=pad_to_multiple(
                 cfg.vocab_size, _lcm(128, ctx.n_model)))
+            if cfg.moe_impl == "auto":
+                # expert weights row-shard on the model axis; pallas_call has
+                # no partitioning rule, so under expert parallelism the fused
+                # kernel would force replication — keep XLA's partitioned
+                # einsums there (single-chip/DP meshes keep the kernel)
+                cfg = cfg.replace(moe_impl="jnp")
         micro, accum = hf["micro"], hf["accum"]
         pad_multiple = _lcm(builder.tc, 8)
         # one sequence length across train+valid so jit compiles once
