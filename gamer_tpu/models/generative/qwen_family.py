@@ -83,6 +83,11 @@ class QwenFamilyConfig(Config):
     # Ratified as the shipped default by the round-5 on-chip sandwich A/B:
     # 1019 vs 940 seq/s/chip (+8.4%), scripts/bench_moe_ab.py.
     moe_impl: str = "auto"
+    # residual-stream dropout mask source: "bits" (u16 rng-stream compare) or
+    # "hash" (stateless fmix32 of the flat index — no RngBitGenerator/pred
+    # buffers in HBM; see modules/dropout.py). Hash ratified round 5:
+    # 1015/1015 vs 1060/1063 seq/s/chip same-session sandwich (+4.6%).
+    dropout_impl: str = "hash"
     # embed-table row count, >= vocab_size (0 = vocab_size). Padded so the
     # vocab table row-shards evenly on the mesh model axis and tiles the MXU
     # lane dim; padded rows are never looked up and never produce logits.
@@ -244,7 +249,8 @@ class QwenFamilyModel(nn.Module):
         is_cross = i in cfg.cross_attention_layers
         is_sparse = i in cfg.sparse_layers
         is_injection = i in cfg.behavior_injection_layers
-        drop = lambda y: BitDropout(cfg.dropout_rate)(y, deterministic=deterministic)
+        drop = lambda y: BitDropout(cfg.dropout_rate, impl=cfg.dropout_impl)(
+            y, deterministic=deterministic)
 
         residual = x
         h = RMSNorm(cfg.rms_norm_eps, name=f"layers_{i}/input_layernorm")(x)

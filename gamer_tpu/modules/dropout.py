@@ -80,6 +80,7 @@ _bit_dropout.defvjp(_bit_dropout_fwd, _bit_dropout_bwd)
 class BitDropout(nn.Module):
     rate: float
     rng_collection: str = "dropout"
+    impl: str = "bits"  # "bits" (u16 rng-stream compare) | "hash" (fmix32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -87,6 +88,59 @@ class BitDropout(nn.Module):
             return x
         if self.rate == 1.0:
             return jnp.zeros_like(x)
-        threshold, keep_prob = keep_threshold(self.rate, bits=16)
         rng = self.make_rng(self.rng_collection)
+        if self.impl == "hash":
+            threshold, keep_prob = keep_threshold(self.rate, bits=32)
+            seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32).astype(jnp.uint32)
+            return _hash_dropout(x, seed, threshold, keep_prob)
+        threshold, keep_prob = keep_threshold(self.rate, bits=16)
         return _bit_dropout(x, rng, threshold, keep_prob)
+
+
+# ---------------------------------------------------------------------------
+# Stateless-hash variant ("hash" impl): the keep mask is an fmix32 of the
+# element's flat index (same single-mul mixer as the Pallas kernels'
+# ops/pallas_attention.dropout_keep_tile, same 32-bit threshold quantization
+# via keep_threshold(rate, bits=32)). Unlike the rng-stream variant, the mask
+# is a pure elementwise function of (seed, index): XLA fuses the hash into the
+# consuming fusion, so no RngBitGenerator output buffer and no pred mask is
+# materialized in HBM — the round-5 post-kernel byte inventory showed the
+# residual-stream dropout still writing ~12 GB/step (drop0 delta) through the
+# rng path. Backward regenerates the mask from the seed (residual = seed).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+_M1 = np.uint32(0x85EBCA6B)
+_M3 = np.uint32(0x9E3779B1)
+
+
+def _hash_keep_mask(seed, shape, n, threshold):
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    x = idx * _M3 + seed
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 15)
+    return (x >= jnp.uint32(threshold)).reshape(shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_dropout(x, seed, threshold, keep_prob):
+    keep = _hash_keep_mask(seed, x.shape, x.size, threshold)
+    scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
+def _hash_dropout_fwd(x, seed, threshold, keep_prob):
+    return _hash_dropout(x, seed, threshold, keep_prob), (seed, x.shape, x.size)
+
+
+def _hash_dropout_bwd(threshold, keep_prob, res, g):
+    seed, shape, n = res
+    keep = _hash_keep_mask(seed, shape, n, threshold)
+    scale = jnp.asarray(1.0 / keep_prob, g.dtype)
+    return jnp.where(keep, g * scale, jnp.zeros((), g.dtype)), None
+
+
+_hash_dropout.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)

@@ -36,7 +36,7 @@ def probe():
     print(f"probe ok: {v:.0f} on {jax.devices()}", flush=True)
 
 
-def bench_config(tag, moe_impl, batch=BATCH, dropout_rate=0.2):
+def bench_config(tag, moe_impl, batch=BATCH, dropout_rate=0.2, **cfg_over):
     import jax
     import optax
 
@@ -48,7 +48,7 @@ def bench_config(tag, moe_impl, batch=BATCH, dropout_rate=0.2):
 
     cfg = _flagship_config()
     cfg = cfg.replace(dtype="bfloat16", dropout_rate=dropout_rate,
-                      attention_impl="pallas", moe_impl=moe_impl)
+                      attention_impl="pallas", moe_impl=moe_impl, **cfg_over)
     model = QwenFamilyModel(cfg)
     rng = np.random.default_rng(0)
     n_seq = batch

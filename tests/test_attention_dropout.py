@@ -267,3 +267,34 @@ def test_bit_dropout_custom_vjp_bit_identical():
     vn, gn = jax.value_and_grad(custom_form)(x)
     assert float(vo) == float(vn)
     np.testing.assert_array_equal(np.asarray(go), np.asarray(gn))
+
+
+def test_hash_bitdropout_statistics_and_vjp_consistency():
+    """The "hash" BitDropout impl: exact keep fraction statistics, fwd/bwd
+    identical masks (regenerated from the seed, nothing saved), inverted
+    scaling parity with the rng-stream impl's contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gamer_tpu.modules.dropout import BitDropout, keep_threshold
+
+    rate = 0.2
+    x = jnp.ones((64, 257), jnp.float32)
+    mod = BitDropout(rate, impl="hash")
+    y = mod.apply({}, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(3)})
+    y = np.asarray(y)
+    _, keep_prob = keep_threshold(rate, bits=32)
+    kept = y != 0.0
+    assert abs(kept.mean() - keep_prob) < 0.02
+    np.testing.assert_allclose(y[kept], 1.0 / keep_prob, rtol=1e-6)
+
+    # bwd mask == fwd mask: grad of sum(dropout(x)) is scale exactly where
+    # the forward kept the element
+    g = jax.grad(lambda v: float(0) + jnp.sum(mod.apply(
+        {}, v, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3)})))(x)
+    g = np.asarray(g)
+    np.testing.assert_array_equal(g != 0.0, kept)
+    np.testing.assert_allclose(g[kept], 1.0 / keep_prob, rtol=1e-6)
