@@ -133,7 +133,7 @@ def main():
     from __graft_entry__ import _flagship_config, _make_batch
     from gamer_tpu.models.generative.qwen_family import (
         QwenFamilyModel, prepare_train_inputs)
-    from gamer_tpu.modules.losses import causal_lm_loss
+    from gamer_tpu.tasks.train_smb_decoder import make_loss_fn
     from gamer_tpu.train.state import OptimizerConfig, make_optimizer
 
     # attention_impl: honest same-session A/B (docs/benchmarks.md) — the fused
@@ -160,14 +160,12 @@ def main():
     tx = make_optimizer(OptimizerConfig(total_steps=2 * (STEPS_LO + STEPS_HI) + WARMUP))
     opt_state = tx.init(variables)
 
+    loss_core = make_loss_fn(model, cfg, deterministic=False)
+
     @jax.jit
     def train_step(variables, opt_state, batch, step):
         def loss_fn(v):
-            inputs = prepare_train_inputs(cfg, batch)
-            out = model.apply(v, **inputs, route_mode="periodic",
-                              deterministic=False,
-                              rngs={"dropout": jax.random.fold_in(dropout_key, step)})
-            return causal_lm_loss(out["logits"], batch["labels"], cfg.temperature)
+            return loss_core(v, batch, jax.random.fold_in(dropout_key, step))[0]
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
         updates, opt_state = tx.update(grads, opt_state, variables)

@@ -83,6 +83,11 @@ class QwenFamilyConfig(Config):
     # Ratified as the shipped default by the round-5 on-chip sandwich A/B:
     # 1019 vs 940 seq/s/chip (+8.4%), scripts/bench_moe_ab.py.
     moe_impl: str = "auto"
+    # fused tied-head CE kernel (ops/pallas_ce.py): "auto" = pallas on TPU
+    # when tie_word_embeddings and hidden_size is lane-aligned; losses then
+    # never materialize [B,S,V] logits. "jnp" = the logits + fp32-view path.
+    # Ratified round 5: 1060/1060 vs 1092/1092 seq/s/chip sandwich (+3.0%).
+    ce_impl: str = "auto"
     # residual-stream dropout mask source: "bits" (u16 rng-stream compare) or
     # "hash" (stateless fmix32 of the flat index — no RngBitGenerator/pred
     # buffers in HBM; see modules/dropout.py). Hash ratified round 5:
@@ -181,6 +186,7 @@ class QwenFamilyModel(nn.Module):
         caches: Optional[dict] = None,  # {"self": [L dicts], "cross": [L dicts|None]}
         cache_index: Optional[jnp.ndarray] = None,
         logits_last_only: bool = False,
+        return_hidden: bool = False,  # skip the lm head (fused-CE loss path)
         streams: Optional[dict] = None,  # pallas path: integer mask streams
     ) -> dict:
         cfg = self.cfg
@@ -224,6 +230,8 @@ class QwenFamilyModel(nn.Module):
                 new_caches["self"].append(new_self_cache)
                 new_caches["cross"].append(new_cross_cache)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+        if return_hidden:
+            return {"hidden": x, "caches": new_caches}
         if logits_last_only:
             x = x[:, -1:, :]
         if cfg.tie_word_embeddings:

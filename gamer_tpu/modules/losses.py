@@ -52,6 +52,45 @@ def causal_lm_loss_with_denom(
     return nll.sum() / denom, denom
 
 
+def fused_causal_lm_loss_with_denom(
+    hidden: jnp.ndarray,  # [B, S, D] post-final-norm hidden states
+    table: jnp.ndarray,  # [V, D] tied lm-head table (compute dtype)
+    labels: jnp.ndarray,  # [B, S] with IGNORE_LABEL masked
+    temperature: float = 1.0,
+    row_valid: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """causal_lm_loss_with_denom computed by the fused tied-head CE kernel
+    (ops/pallas_ce.py): the [B, S, V] logits never exist in HBM. Same
+    shift/mask/temperature/denom semantics; f32 tile math (>= the jnp path's
+    precision, tolerance-pinned by tests/test_pallas_ce.py)."""
+    from gamer_tpu.ops.pallas_ce import TM, fused_ce_rows
+
+    x = hidden[:, :-1, :]
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_LABEL
+    if row_valid is not None:
+        valid = valid & (row_valid[:, None] == 1)
+    safe = jnp.where(valid, targets, 0)
+    B, S1, D = x.shape
+    n = B * S1
+    npad = -(-n // TM) * TM
+    h = x.reshape(n, D)
+    t = safe.reshape(n).astype(jnp.int32)
+    v = valid.reshape(n).astype(jnp.int32)
+    if npad != n:
+        h = jnp.pad(h, ((0, npad - n), (0, 0)))
+        t = jnp.pad(t, (0, npad - n))
+        v = jnp.pad(v, (0, npad - n))
+    vsize = table.shape[0]
+    vp = -(-vsize // 128) * 128
+    tab = jnp.pad(table, ((0, vp - vsize), (0, 0))) if vp != vsize else table
+    nll = fused_ce_rows(h, tab, t.reshape(-1, 1, TM), v.reshape(-1, 1, TM),
+                        vsize, float(1.0 / temperature), interpret)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom, denom
+
+
 def causal_lm_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

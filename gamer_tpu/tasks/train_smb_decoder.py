@@ -88,20 +88,45 @@ def make_model_config(backbone: str, data, base_model: str | None,
     return build_config(backbone, **derived)
 
 
+def use_fused_ce(cfg: QwenFamilyConfig) -> bool:
+    """The fused tied-head CE kernel (ops/pallas_ce.py) applies when the head
+    is tied and lane-aligned; "auto" resolves to the kernel on TPU only."""
+    import jax
+
+    return (cfg.tie_word_embeddings and cfg.hidden_size % 128 == 0
+            and (cfg.ce_impl == "pallas_interpret"
+                 or (cfg.ce_impl in ("auto", "pallas")
+                     and jax.default_backend() == "tpu")))
+
+
 def make_loss_fn(model: QwenFamilyModel, cfg: QwenFamilyConfig,
                  deterministic: bool = False):
     """Temperature-scaled causal-LM loss. `deterministic=True` is the eval
     variant: dropout off, no rng consumed (ref evals under model.eval(),
     SeqRec/tasks/train_SMB_decoder.py:395-444). aux carries the valid-target
     count so Trainer.evaluate can form a global token mean."""
+    fused = use_fused_ce(cfg)
+
     def loss_fn(params, batch, rng):
         inputs = prepare_train_inputs(cfg, batch)
         rngs = None if deterministic else {"dropout": rng}
         out = model.apply(params, **inputs, deterministic=deterministic,
-                          route_mode="periodic", rngs=rngs)
-        loss, denom = causal_lm_loss_with_denom(
-            out["logits"], batch["labels"], cfg.temperature,
-            batch.get("row_valid"))
+                          route_mode="periodic", rngs=rngs,
+                          return_hidden=fused)
+        if fused:
+            from gamer_tpu.modules.losses import (
+                fused_causal_lm_loss_with_denom)
+
+            table = params["params"]["embed_tokens"]["embedding"]
+            table = table[:cfg.vocab_size].astype(cfg.jax_dtype)
+            loss, denom = fused_causal_lm_loss_with_denom(
+                out["hidden"], table, batch["labels"], cfg.temperature,
+                batch.get("row_valid"),
+                interpret=cfg.ce_impl == "pallas_interpret")
+        else:
+            loss, denom = causal_lm_loss_with_denom(
+                out["logits"], batch["labels"], cfg.temperature,
+                batch.get("row_valid"))
         return loss, {"denom": denom}
     return loss_fn
 

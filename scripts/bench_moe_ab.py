@@ -43,7 +43,7 @@ def bench_config(tag, moe_impl, batch=BATCH, dropout_rate=0.2, **cfg_over):
     from __graft_entry__ import _flagship_config, _make_batch
     from gamer_tpu.models.generative.qwen_family import (
         QwenFamilyModel, prepare_train_inputs)
-    from gamer_tpu.modules.losses import causal_lm_loss
+    from gamer_tpu.tasks.train_smb_decoder import make_loss_fn
     from gamer_tpu.train.state import OptimizerConfig, make_optimizer
 
     cfg = _flagship_config()
@@ -62,16 +62,16 @@ def bench_config(tag, moe_impl, batch=BATCH, dropout_rate=0.2, **cfg_over):
     tx = make_optimizer(OptimizerConfig(total_steps=10_000))
     opt_state = tx.init(variables)
 
+    # the SHIPPED loss path (fused-CE/logits branch included) — one source
+    # of truth with the train task
+    loss_core = make_loss_fn(model, cfg, deterministic=deterministic)
+
     @jax.jit
     def train_step(variables, opt_state, batch, step):
         def loss_fn(v):
-            inputs = prepare_train_inputs(cfg, batch)
-            rngs = (None if deterministic else
-                    {"dropout": jax.random.fold_in(base_key, step)})
-            out = model.apply(v, **inputs, route_mode="periodic",
-                              deterministic=deterministic, rngs=rngs)
-            return causal_lm_loss(out["logits"], batch["labels"],
-                                  cfg.temperature)
+            rng = (jax.random.PRNGKey(0) if deterministic else
+                   jax.random.fold_in(base_key, step))
+            return loss_core(v, batch, rng)[0]
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)
         updates, opt_state = tx.update(grads, opt_state, variables)
